@@ -1,0 +1,533 @@
+"""Batched-graph data structure for the TPU-native Graph Nets framework.
+
+Design
+------
+The reference (GraphNets.jl) batches variable-structure graphs by padding every
+graph to the max node count ``PN`` and materializing a dense ``PN**2`` edge-slot
+space, with message passing expressed as batched dense matmuls against seven
+precomputed 0/1 "broadcaster" matrices (``/root/reference/src/gngraphbatch.jl:1-54``).
+That costs O(B * PN^4) broadcaster memory and is hostile to XLA (per-batch PN
+means per-batch shapes).
+
+This framework instead concatenates the batch into **one big sparse graph** in
+COO form: ``senders[E]``, ``receivers[E]`` index a flat node array, and segment
+id arrays map nodes/edges back to their graph. Gather = ``nf[senders]``,
+scatter-aggregate = ``jax.ops.segment_sum``. Index memory is O(E); all shapes
+are static (optionally bucket-padded for jit stability across batches).
+
+Feature layout is **row-major feature-last**: ``ef: [E, DE]``, ``nf: [N, DN]``,
+``gf: [B, DG]`` — idiomatic for XLA (the reference uses channel-first
+``(D, T, B)``, ``/root/reference/src/batch.jl:48-50``).
+
+Parity-critical conventions preserved from the reference:
+
+* Adjacency entry ``(i, j) == 1`` is an edge with source = row ``i``,
+  dest = column ``j`` (``/root/reference/src/gngraphbatch.jl:197-211``).
+* Canonical edge order is the **column-major linear index of the adjacency**
+  (``/root/reference/src/pad.jl:30``): edges sorted by (receiver, sender),
+  receiver varying slowest. ``batch``/``unbatch``/views all follow this order.
+* Node aggregation sums **incoming** edges per destination node
+  (``/root/reference/src/gngraphbatch.jl:158-170``); graph aggregation sums
+  over real nodes / real edges (``:136-156``).
+
+Padding semantics: padded edge/node/graph slots never contaminate real slots —
+aggregations mask padded contributions (the analogue of the reference's 0/1
+broadcasters zeroing padded columns), and real edges by construction reference
+only real nodes.  This preserves the reference's batch-invariance property
+(``/root/reference/test/runtests.jl:62-116``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = Any
+ArrayLike = Any
+
+__all__ = [
+    "GraphsTuple",
+    "PadSpec",
+    "batch",
+    "unbatch",
+    "efview",
+    "nfview",
+    "gfview",
+    "flat_unpadded_nf",
+    "flat_unpadded_ef",
+    "flatunpaddednf",
+    "flatunpaddedef",
+    "collapse_ef",
+    "collapsef",
+    "unpadded_collapsed_ef",
+    "flat_unpadded_collapsed_ef",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class PadSpec:
+    """Static padding targets for jit-stable shapes.
+
+    ``None`` fields mean "exact" (no padding on that axis).  For training loops
+    over variable-structure batches, fix these (or use :meth:`bucketed`) so XLA
+    compiles once.  Padding adds one virtual "padding graph" that owns all
+    padding nodes and edges.
+    """
+
+    num_nodes: Optional[int] = None
+    num_edges: Optional[int] = None
+    num_graphs: Optional[int] = None
+
+    @staticmethod
+    def bucketed(n_node: int, n_edge: int, n_graph: int,
+                 node_multiple: int = 8, edge_multiple: int = 128) -> "PadSpec":
+        """Round node/edge totals up to hardware-friendly multiples."""
+        return PadSpec(
+            num_nodes=_round_up(n_node + 1, node_multiple),
+            num_edges=_round_up(n_edge, edge_multiple),
+            num_graphs=n_graph + 1,
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GraphsTuple:
+    """A batch of graphs as one big sparse graph (COO) — a JAX pytree.
+
+    Structure arrays (all static-shaped, ``int32``/``bool``):
+
+    * ``senders[E]`` / ``receivers[E]``: global node index of each edge's
+      source / destination.  Padded edge slots point at a padding node (or are
+      clipped in-range) and have ``edge_mask == False``.
+    * ``node_graph[N]`` / ``edge_graph[E]``: graph id owning each node / edge.
+    * ``n_node[G]`` / ``n_edge[G]``: real node / edge counts per graph slot.
+    * ``node_mask[N]`` / ``edge_mask[E]`` / ``graph_mask[G]``: True for real
+      slots.
+
+    Features (``None`` when absent, mirroring the reference's ``nothing``
+    dispatch, ``/root/reference/src/batch.jl:69-76``):
+
+    * ``ef: [E, DE]``, ``nf: [N, DN]``, ``gf: [G, DG]``.
+
+    ``homogeneous`` is static metadata: True when the batch was built from a
+    single shared adjacency matrix (the reference's "same structure" mode,
+    ``/root/reference/src/batch.jl:66``); it only affects ``unbatch`` output
+    shape, never compiled computation (at most two compile variants).
+    """
+
+    senders: Array
+    receivers: Array
+    node_graph: Array
+    edge_graph: Array
+    n_node: Array
+    n_edge: Array
+    node_mask: Array
+    edge_mask: Array
+    graph_mask: Array
+    ef: Optional[Array] = None
+    nf: Optional[Array] = None
+    gf: Optional[Array] = None
+    homogeneous: bool = False
+
+    # -- pytree protocol ----------------------------------------------------
+    _children = (
+        "senders", "receivers", "node_graph", "edge_graph",
+        "n_node", "n_edge", "node_mask", "edge_mask", "graph_mask",
+        "ef", "nf", "gf",
+    )
+
+    def tree_flatten(self):
+        return tuple(getattr(self, k) for k in self._children), (self.homogeneous,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, homogeneous=aux[0])
+
+    # -- derived sizes ------------------------------------------------------
+    @property
+    def num_node_slots(self) -> int:
+        return int(self.node_graph.shape[0])
+
+    @property
+    def num_edge_slots(self) -> int:
+        return int(self.senders.shape[0])
+
+    @property
+    def num_graph_slots(self) -> int:
+        return int(self.n_node.shape[0])
+
+    def replace(self, **kw) -> "GraphsTuple":
+        return dataclasses.replace(self, **kw)
+
+    # Convenience: same structure, new features (the common forward-pass op).
+    def with_features(self, ef=..., nf=..., gf=...) -> "GraphsTuple":
+        kw = {}
+        if ef is not ...:
+            kw["ef"] = ef
+        if nf is not ...:
+            kw["nf"] = nf
+        if gf is not ...:
+            kw["gf"] = gf
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Host-side batching
+# ---------------------------------------------------------------------------
+
+
+def _adj_to_coo(adj: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Edges of one adjacency matrix in the reference's canonical order.
+
+    Column-major enumeration (``/root/reference/src/pad.jl:30``): receiver
+    (column) varies slowest, sender (row) fastest.  Entry counts as an edge iff
+    it equals 1 (``/root/reference/src/checks.jl:43``).
+    """
+    adj = np.asarray(adj)
+    rr, ss = np.nonzero((adj == 1).T)  # iterate columns (receivers) outer
+    return ss.astype(np.int32), rr.astype(np.int32)
+
+
+def _as_feature_list(x, B: int) -> Optional[List[np.ndarray]]:
+    if x is None:
+        return None
+    if isinstance(x, (list, tuple)):
+        return [np.asarray(v) for v in x]
+    x = np.asarray(x)
+    # Homogeneous mode: [B, T, D] stacked features.
+    assert x.ndim == 3 and x.shape[0] == B, (
+        f"homogeneous features must be [B, T, D]; got {x.shape} with B={B}")
+    return [x[i] for i in range(B)]
+
+
+def batch(
+    data: dict,
+    pad: Optional[PadSpec] = None,
+) -> GraphsTuple:
+    """Build a :class:`GraphsTuple` from adjacency matrices + features.
+
+    Mirrors the reference's public ``batch`` entry
+    (``/root/reference/src/batch.jl:53-64``) with a feature-last layout:
+
+    * ``data["graphs"]``: one adjacency matrix (homogeneous batch — every
+      graph shares the structure) or a list of per-graph matrices.
+    * ``data["ef"]``: edge features — homogeneous: ``[B, E, DE]``;
+      heterogeneous: list of ``[E_i, DE]``; or ``None``.
+    * ``data["nf"]``: node features — ``[B, N, DN]`` / list of ``[N_i, DN]`` /
+      ``None``.
+    * ``data["gf"]``: graph features — ``[B, DG]`` / list of ``[DG]`` / ``None``.
+
+    Edge features must be listed in the canonical (column-major adjacency)
+    edge order, exactly as the reference requires.
+    """
+    assert set(data.keys()) == {"graphs", "ef", "nf", "gf"}, (
+        "batch input must have keys {graphs, ef, nf, gf} "
+        "(/root/reference/src/batch.jl:54)")
+    graphs, ef, nf, gf = data["graphs"], data["ef"], data["nf"], data["gf"]
+    assert ef is not None or nf is not None or gf is not None
+
+    homogeneous = not isinstance(graphs, (list, tuple))
+    if homogeneous:
+        if gf is not None:
+            gf = np.asarray(gf)
+            B = gf.shape[0]
+        elif nf is not None:
+            nf = np.asarray(nf)
+            B = nf.shape[0]
+        else:
+            ef = np.asarray(ef)
+            B = ef.shape[0]
+        adj_mats = [np.asarray(graphs)] * B
+    else:
+        adj_mats = [np.asarray(a) for a in graphs]
+        B = len(adj_mats)
+
+    ef_list = _as_feature_list(ef, B)
+    nf_list = _as_feature_list(nf, B)
+    gf_arr = None
+    if gf is not None:
+        gf_arr = (np.stack([np.asarray(v) for v in gf])
+                  if isinstance(gf, (list, tuple)) else np.asarray(gf))
+        assert gf_arr.shape[0] == B
+
+    # --- validation (the reference's checks.jl, condensed) -----------------
+    for i, a in enumerate(adj_mats):
+        assert a.ndim == 2 and a.shape[0] == a.shape[1], (
+            f"adjacency {i} must be square, got {a.shape}")
+        n, e = a.shape[0], int((a == 1).sum())
+        if nf_list is not None:
+            assert nf_list[i].shape[0] == n, (
+                f"graph {i}: nf has {nf_list[i].shape[0]} rows, adjacency has "
+                f"{n} nodes")
+        if ef_list is not None:
+            assert ef_list[i].shape[0] == e, (
+                f"graph {i}: ef has {ef_list[i].shape[0]} rows, adjacency has "
+                f"{e} edges")
+
+    # --- concatenate into one big graph ------------------------------------
+    n_node = np.array([a.shape[0] for a in adj_mats], dtype=np.int32)
+    node_offset = np.concatenate([[0], np.cumsum(n_node)]).astype(np.int32)
+    senders_l, receivers_l, n_edge_l = [], [], []
+    for i, a in enumerate(adj_mats):
+        s, r = _adj_to_coo(a)
+        senders_l.append(s + node_offset[i])
+        receivers_l.append(r + node_offset[i])
+        n_edge_l.append(len(s))
+    n_edge = np.array(n_edge_l, dtype=np.int32)
+    senders = (np.concatenate(senders_l) if senders_l
+               else np.zeros((0,), np.int32)).astype(np.int32)
+    receivers = (np.concatenate(receivers_l) if receivers_l
+                 else np.zeros((0,), np.int32)).astype(np.int32)
+
+    N, E, G = int(n_node.sum()), int(n_edge.sum()), B
+
+    # --- padding to static bucket sizes ------------------------------------
+    if pad is None:
+        pad = PadSpec()
+    NP = pad.num_nodes if pad.num_nodes is not None else N
+    EP = pad.num_edges if pad.num_edges is not None else E
+    GP = pad.num_graphs if pad.num_graphs is not None else G
+    assert NP >= N and EP >= E and GP >= G, (
+        f"pad spec ({NP},{EP},{GP}) smaller than batch ({N},{E},{G})")
+    if (NP > N or EP > E) and GP == G:
+        raise ValueError(
+            "padding nodes/edges requires at least one padding graph slot "
+            "(num_graphs >= B + 1) to own them")
+
+    node_graph = np.repeat(np.arange(B, dtype=np.int32), n_node)
+    edge_graph = np.repeat(np.arange(B, dtype=np.int32), n_edge)
+    # Padding nodes/edges belong to the first padding graph; padded edges
+    # point at the first padding node (or node 0 if there is none — they are
+    # masked out of every aggregation regardless).
+    pad_node_id = N if NP > N else 0
+    node_graph = np.concatenate(
+        [node_graph, np.full(NP - N, B, np.int32)])
+    edge_graph = np.concatenate(
+        [edge_graph, np.full(EP - E, B, np.int32)])
+    senders = np.concatenate(
+        [senders, np.full(EP - E, pad_node_id, np.int32)])
+    receivers = np.concatenate(
+        [receivers, np.full(EP - E, pad_node_id, np.int32)])
+    n_node_p = np.concatenate([n_node, np.zeros(GP - G, np.int32)])
+    n_edge_p = np.concatenate([n_edge, np.zeros(GP - G, np.int32)])
+    node_mask = np.arange(NP) < N
+    edge_mask = np.arange(EP) < E
+    graph_mask = np.arange(GP) < G
+
+    def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
+        if x.shape[0] == rows:
+            return x
+        out = np.zeros((rows,) + x.shape[1:], x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    def _cat_feats(lst: Optional[List[np.ndarray]], rows: int):
+        if lst is None:
+            return None
+        flat = np.concatenate([np.asarray(v, np.float32) for v in lst], axis=0)
+        return jnp.asarray(_pad_rows(flat.astype(np.float32), rows))
+
+    return GraphsTuple(
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        node_graph=jnp.asarray(node_graph),
+        edge_graph=jnp.asarray(edge_graph),
+        n_node=jnp.asarray(n_node_p),
+        n_edge=jnp.asarray(n_edge_p),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        ef=_cat_feats(ef_list, EP),
+        nf=_cat_feats(nf_list, NP),
+        gf=(jnp.asarray(_pad_rows(np.asarray(gf_arr, np.float32), GP))
+            if gf_arr is not None else None),
+        homogeneous=homogeneous,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side unbatching & views
+# ---------------------------------------------------------------------------
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x))
+
+
+def _host_meta(g: GraphsTuple):
+    n_node = _np(g.n_node)
+    n_edge = _np(g.n_edge)
+    gm = _np(g.graph_mask)
+    B = int(gm.sum())
+    node_off = np.concatenate([[0], np.cumsum(n_node)]).astype(np.int64)
+    edge_off = np.concatenate([[0], np.cumsum(n_edge)]).astype(np.int64)
+    return B, n_node, n_edge, node_off, edge_off
+
+
+def adjacency_matrices(g: GraphsTuple) -> List[np.ndarray]:
+    """Reconstruct per-graph adjacency matrices (host-side)."""
+    B, n_node, n_edge, node_off, edge_off = _host_meta(g)
+    s, r = _np(g.senders), _np(g.receivers)
+    mats = []
+    for i in range(B):
+        n = int(n_node[i])
+        a = np.zeros((n, n), dtype=np.int64)
+        es, ee = edge_off[i], edge_off[i + 1]
+        a[s[es:ee] - node_off[i], r[es:ee] - node_off[i]] = 1
+        mats.append(a)
+    return mats
+
+
+def unbatch(g: GraphsTuple) -> dict:
+    """Inverse of :func:`batch` (``/root/reference/src/unbatch.jl:6-39``).
+
+    Homogeneous batches return stacked arrays ``ef: [B, E, DE]`` etc.;
+    heterogeneous batches return per-graph lists.  Host-side op.
+    """
+    assert g.ef is not None or g.nf is not None or g.gf is not None
+    B, n_node, n_edge, node_off, edge_off = _host_meta(g)
+    mats = adjacency_matrices(g)
+    ef = _np(g.ef) if g.ef is not None else None
+    nf = _np(g.nf) if g.nf is not None else None
+    gf = _np(g.gf) if g.gf is not None else None
+
+    ef_l = (None if ef is None else
+            [ef[edge_off[i]:edge_off[i + 1]] for i in range(B)])
+    nf_l = (None if nf is None else
+            [nf[node_off[i]:node_off[i + 1]] for i in range(B)])
+    gf_l = None if gf is None else [gf[i] for i in range(B)]
+
+    if g.homogeneous:
+        return {
+            "graphs": mats[0],
+            "ef": None if ef_l is None else np.stack(ef_l),
+            "nf": None if nf_l is None else np.stack(nf_l),
+            "gf": None if gf_l is None else np.stack(gf_l),
+        }
+    return {"graphs": mats, "ef": ef_l, "nf": nf_l, "gf": gf_l}
+
+
+def efview(g: GraphsTuple, d1, d2, d3):
+    """Edge-feature view: feature-sel, edge index (canonical order, within
+    graph ``d3``), graph index (``/root/reference/src/views.jl:6-31``,
+    transposed to feature-last: here ``[edge, feature]`` semantics)."""
+    assert g.ef is not None
+    _, _, _, _, edge_off = _host_meta(g)
+    ef = _np(g.ef)
+    return ef[edge_off[d3]:edge_off[d3 + 1]][d2, d1]
+
+
+def nfview(g: GraphsTuple, d1, d2, d3):
+    """Node-feature view (``/root/reference/src/views.jl:33-61``)."""
+    assert g.nf is not None
+    _, _, _, node_off, _ = _host_meta(g)
+    nf = _np(g.nf)
+    return nf[node_off[d3]:node_off[d3 + 1]][d2, d1]
+
+
+def gfview(g: GraphsTuple, d1, d2):
+    """Graph-feature view (``/root/reference/src/views.jl:63-78``)."""
+    assert g.gf is not None
+    return _np(g.gf)[d2, d1]
+
+
+def flat_unpadded_nf(g: GraphsTuple) -> Array:
+    """All real node features as ``[sum_i N_i, DN]`` — the loss path
+    (``/root/reference/src/views.jl:80-88``).
+
+    In the big-graph layout real nodes are already contiguous, so this is a
+    static slice (jit-compatible, differentiable) — unlike the reference,
+    which must mask-select out of the padded layout.
+    """
+    assert g.nf is not None
+    n_real = int(_np(g.node_mask).sum())
+    return g.nf[:n_real]
+
+
+def flat_unpadded_ef(g: GraphsTuple) -> Array:
+    """All real edge features as ``[sum_i E_i, DE]``
+    (``/root/reference/src/views.jl:90-98``)."""
+    assert g.ef is not None
+    e_real = int(_np(g.edge_mask).sum())
+    return g.ef[:e_real]
+
+
+# Reference-spelled aliases.
+flatunpaddednf = flat_unpadded_nf
+flatunpaddedef = flat_unpadded_ef
+
+
+# ---------------------------------------------------------------------------
+# Edge collapsing (directed -> undirected features)
+# ---------------------------------------------------------------------------
+
+
+def _collapse_indices(g: GraphsTuple):
+    """Per-graph (fwd_idx, rev_idx, self_loop) for present lower-tri edges.
+
+    Reference semantics (``/root/reference/src/gngraphbatch.jl:56-111``): for
+    each lower-triangular coordinate (i >= j, column-major order) where
+    ``adj[i, j] == 1``, output the mean of edge slots (i, j) and (j, i); a
+    self-loop (i == j) maps to itself.  When the reverse edge (j, i) is absent
+    the reference averages with an uninitialized padded slot; we define the
+    missing direction as 0 instead (only observable on asymmetric graphs).
+    """
+    B, n_node, n_edge, node_off, edge_off = _host_meta(g)
+    s, r = _np(g.senders), _np(g.receivers)
+    out = []
+    for b in range(B):
+        n = int(n_node[b])
+        es, ee = edge_off[b], edge_off[b + 1]
+        # Map (local i, j) -> edge index within this graph.
+        pos = {(int(si - node_off[b]), int(ri - node_off[b])): int(k)
+               for k, (si, ri) in enumerate(zip(s[es:ee], r[es:ee]))}
+        fwd, rev, selfloop = [], [], []
+        for j in range(n):           # column-major lower triangle
+            for i in range(j, n):
+                if (i, j) in pos:
+                    fwd.append(pos[(i, j)])
+                    rev.append(pos.get((j, i), -1))
+                    selfloop.append(i == j)
+        out.append((np.array(fwd, np.int64), np.array(rev, np.int64),
+                    np.array(selfloop, bool)))
+    return out, edge_off
+
+
+def collapse_ef(g: GraphsTuple) -> List[np.ndarray]:
+    """Symmetrized (undirected) edge features per graph, present lower-tri
+    edges only — the reference's ``unpaddedcollapsedef``
+    (``/root/reference/src/gngraphbatch.jl:87-107``). Host-side."""
+    assert g.ef is not None
+    info, edge_off = _collapse_indices(g)
+    ef = _np(g.ef)
+    outs = []
+    for b, (fwd, rev, selfloop) in enumerate(info):
+        base = ef[edge_off[b]:edge_off[b + 1]]
+        f = base[fwd] if len(fwd) else np.zeros((0, ef.shape[1]), ef.dtype)
+        rv = np.where((rev >= 0)[:, None], base[np.maximum(rev, 0)], 0.0) \
+            if len(fwd) else f
+        out = np.where(selfloop[:, None], f, (f + rv) / 2.0)
+        outs.append(out.astype(ef.dtype))
+    return outs
+
+
+def unpadded_collapsed_ef(g: GraphsTuple) -> List[np.ndarray]:
+    return collapse_ef(g)
+
+
+def flat_unpadded_collapsed_ef(g: GraphsTuple) -> np.ndarray:
+    """Concatenation over the batch
+    (``/root/reference/src/gngraphbatch.jl:109-111``)."""
+    outs = collapse_ef(g)
+    return np.concatenate(outs, axis=0)
+
+
+collapsef = collapse_ef

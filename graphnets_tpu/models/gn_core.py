@@ -1,0 +1,156 @@
+"""GNCore / GNCoreList / GNFeedForward / GNGraphNorm.
+
+Reference: ``/root/reference/src/gncore.jl``, ``gncorelist.jl``,
+``gnfeedforward.jl``, ``gngraphnorm.jl``.
+
+The core is a transformer-style **parallel-branch** residual (both branches
+read the original input, GPT-J style — not sequential pre-norm;
+``/root/reference/src/gncore.jl:56-59``):
+
+    y = x + GNBlock(LN1(x)) + FFW(LN2(x))
+
+where LN is per-feature-set LayerNorm over channels, FFW is a per-feature-set
+``Dense(d -> 4d, relu) -> Dense(4d -> d) -> Dropout`` MLP, and all three
+feature dims must be > 0 (``/root/reference/src/gnfeedforward.jl:18``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+
+from ..graph import GraphsTuple
+from ..nn.core import Dropout, FeedForward, LayerNorm, Module
+from .gn_block import GNBlock
+
+__all__ = ["GNFeedForward", "GNGraphNorm", "GNCore", "GNCoreList",
+           "graphnet_add"]
+
+
+def graphnet_add(a: GraphsTuple, b: GraphsTuple) -> GraphsTuple:
+    """Element-wise residual add of ef/nf/gf
+    (``/root/reference/src/gncore.jl:61-68``)."""
+    return a.with_features(ef=a.ef + b.ef, nf=a.nf + b.nf, gf=a.gf + b.gf)
+
+
+@dataclasses.dataclass(frozen=True)
+class GNGraphNorm(Module):
+    """Per-feature-set LayerNorm (``/root/reference/src/gngraphnorm.jl:9-25``).
+
+    Note: like the reference, padded slots get normalised too (LN of zeros =
+    bias); this never leaks into real slots because aggregations mask padding.
+    """
+
+    dims: Tuple[int, int, int]
+
+    def __post_init__(self):
+        assert all(d > 0 for d in self.dims)
+
+    def _lns(self):
+        de, dn, dg = self.dims
+        return LayerNorm(de), LayerNorm(dn), LayerNorm(dg)
+
+    def init(self, key):
+        ek, nk, gk = jax.random.split(key, 3)
+        eln, nln, gln = self._lns()
+        return {"edgeln": eln.init(ek), "nodeln": nln.init(nk),
+                "graphln": gln.init(gk)}
+
+    def apply(self, params, g: GraphsTuple, *, training=False, rng=None):
+        eln, nln, gln = self._lns()
+        return g.with_features(
+            ef=eln.apply(params["edgeln"], g.ef),
+            nf=nln.apply(params["nodeln"], g.nf),
+            gf=gln.apply(params["graphln"], g.gf),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class GNFeedForward(Module):
+    """Per-feature-set MLP (``/root/reference/src/gnfeedforward.jl:17-39``)."""
+
+    dims: Tuple[int, int, int]
+    dropout: float = 0.0
+
+    def __post_init__(self):
+        assert all(d > 0 for d in self.dims)
+
+    def _ffs(self):
+        de, dn, dg = self.dims
+        return (FeedForward(de, self.dropout), FeedForward(dn, self.dropout),
+                FeedForward(dg, self.dropout))
+
+    def init(self, key):
+        ek, nk, gk = jax.random.split(key, 3)
+        eff, nff, gff = self._ffs()
+        return {"eff": eff.init(ek), "nff": nff.init(nk),
+                "gff": gff.init(gk)}
+
+    def apply(self, params, g: GraphsTuple, *, training=False, rng=None):
+        eff, nff, gff = self._ffs()
+        rngs = (jax.random.split(rng, 3) if rng is not None
+                else (None, None, None))
+        return g.with_features(
+            ef=eff.apply(params["eff"], g.ef, training=training, rng=rngs[0]),
+            nf=nff.apply(params["nff"], g.nf, training=training, rng=rngs[1]),
+            gf=gff.apply(params["gff"], g.gf, training=training, rng=rngs[2]),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class GNCore(Module):
+    """Residual GN core at constant dims
+    (``/root/reference/src/gncore.jl:46-59``)."""
+
+    dims: Tuple[int, int, int]
+    dropout: float = 0.0
+
+    def __post_init__(self):
+        assert any(d > 0 for d in self.dims)
+
+    def _parts(self):
+        return (GNBlock(self.dims, self.dims, dropout=self.dropout),
+                GNFeedForward(self.dims, self.dropout),
+                GNGraphNorm(self.dims), GNGraphNorm(self.dims))
+
+    def init(self, key):
+        bk, fk, n1k, n2k = jax.random.split(key, 4)
+        block, ffwd, gn1, gn2 = self._parts()
+        return {"block": block.init(bk), "ffwd": ffwd.init(fk),
+                "gn1": gn1.init(n1k), "gn2": gn2.init(n2k)}
+
+    def apply(self, params, g: GraphsTuple, *, training=False, rng=None):
+        block, ffwd, gn1, gn2 = self._parts()
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        branch1 = block.apply(params["block"],
+                              gn1.apply(params["gn1"], g),
+                              training=training, rng=rngs[0])
+        branch2 = ffwd.apply(params["ffwd"],
+                             gn2.apply(params["gn2"], g),
+                             training=training, rng=rngs[1])
+        return graphnet_add(graphnet_add(g, branch1), branch2)
+
+
+@dataclasses.dataclass(frozen=True)
+class GNCoreList(Module):
+    """Sequential composition of cores
+    (``/root/reference/src/gncorelist.jl:37-45``)."""
+
+    cores: Tuple[Module, ...]
+
+    def __init__(self, cores: Sequence[Module]):
+        object.__setattr__(self, "cores", tuple(cores))
+
+    def init(self, key):
+        keys = jax.random.split(key, max(len(self.cores), 1))
+        return {str(i): c.init(keys[i]) for i, c in enumerate(self.cores)}
+
+    def apply(self, params, g: GraphsTuple, *, training=False, rng=None):
+        for i, c in enumerate(self.cores):
+            crng = None
+            if rng is not None:
+                rng, crng = jax.random.split(rng)
+            g = c.apply(params[str(i)], g, training=training, rng=crng)
+        return g

@@ -1,0 +1,131 @@
+"""Gather / segment-aggregation primitives — the TPU-native replacement for
+the reference's seven dense "broadcaster" matmuls
+(``/root/reference/src/gngraphbatch.jl:136-211``).
+
+Each function documents which broadcaster it replaces.  All aggregations mask
+padded slots so padding can never contaminate real slots (the broadcasters'
+zero columns played this role in the reference).
+
+These are the pure-XLA reference implementations; ``graphnets_tpu.ops.pallas``
+provides fused kernels for the same contracts and is validated against these.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+__all__ = [
+    "gather_nodes",
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "aggregate_edges_for_nodes",
+    "aggregate_edges_for_globals",
+    "aggregate_nodes_for_globals",
+    "broadcast_globals_to_edges",
+    "broadcast_globals_to_nodes",
+]
+
+
+def _mask_rows(x: Array, mask: Optional[Array]) -> Array:
+    if mask is None:
+        return x
+    return jnp.where(mask[:, None], x, jnp.zeros((), x.dtype))
+
+
+def gather_nodes(nf: Array, idx: Array) -> Array:
+    """``nf[idx]`` — replaces ``batched_mul(nf, src/dstnode2edge_broadcaster)``
+    (``/root/reference/src/edgefninput.jl:4-5``).  O(E·DN) HBM traffic instead
+    of an O(PN·PN²) dense matmul."""
+    return jnp.take(nf, idx, axis=0, indices_are_sorted=False,
+                    unique_indices=False, mode="clip")
+
+
+def segment_sum(x: Array, segment_ids: Array, num_segments: int,
+                mask: Optional[Array] = None,
+                indices_are_sorted: bool = True) -> Array:
+    """Masked ``jax.ops.segment_sum`` with f32 accumulation.
+
+    ``indices_are_sorted`` defaults True: canonical edge order is sorted by
+    (graph, receiver), and node/edge->graph segment ids are sorted by
+    construction.
+    """
+    x = _mask_rows(x, mask)
+    acc = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    out = jax.ops.segment_sum(acc, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    return out.astype(x.dtype)
+
+
+def segment_mean(x: Array, segment_ids: Array, num_segments: int,
+                 mask: Optional[Array] = None,
+                 indices_are_sorted: bool = True) -> Array:
+    s = segment_sum(x, segment_ids, num_segments, mask, indices_are_sorted)
+    ones = jnp.ones((x.shape[0],), jnp.float32)
+    if mask is not None:
+        ones = jnp.where(mask, ones, 0.0)
+    counts = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
+                                 indices_are_sorted=indices_are_sorted)
+    return s / jnp.maximum(counts, 1.0)[:, None].astype(s.dtype)
+
+
+def segment_max(x: Array, segment_ids: Array, num_segments: int,
+                mask: Optional[Array] = None,
+                indices_are_sorted: bool = True) -> Array:
+    neg = jnp.full((), jnp.finfo(x.dtype).min, x.dtype)
+    if mask is not None:
+        x = jnp.where(mask[:, None], x, neg)
+    out = jax.ops.segment_max(x, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    # Empty / fully-masked segments come back as the fill value -> report 0.
+    return jnp.where(out <= neg, jnp.zeros((), x.dtype), out)
+
+
+# -- GN-block-specific aggregations (broadcaster replacements) --------------
+
+
+def aggregate_edges_for_nodes(ef: Array, receivers: Array, num_nodes: int,
+                              edge_mask: Optional[Array]) -> Array:
+    """Sum of incoming-edge features per destination node — replaces
+    ``batched_mul(ef, edge2node_broadcaster)``
+    (``/root/reference/src/nodefninput.jl:3``,
+    ``/root/reference/src/gngraphbatch.jl:158-170``)."""
+    return segment_sum(ef, receivers, num_nodes, edge_mask,
+                       indices_are_sorted=False)
+
+
+def aggregate_edges_for_globals(ef: Array, edge_graph: Array, num_graphs: int,
+                                edge_mask: Optional[Array]) -> Array:
+    """Sum-pool over real edges per graph — replaces
+    ``batched_mul(ef, edge2graph_broadcaster)``
+    (``/root/reference/src/graphfninput.jl:3``)."""
+    return segment_sum(ef, edge_graph, num_graphs, edge_mask,
+                       indices_are_sorted=True)
+
+
+def aggregate_nodes_for_globals(nf: Array, node_graph: Array, num_graphs: int,
+                                node_mask: Optional[Array]) -> Array:
+    """Sum-pool over real nodes per graph — replaces
+    ``batched_mul(nf, node2graph_broadcaster)``
+    (``/root/reference/src/graphfninput.jl:4``)."""
+    return segment_sum(nf, node_graph, num_graphs, node_mask,
+                       indices_are_sorted=True)
+
+
+def broadcast_globals_to_edges(gf: Array, edge_graph: Array) -> Array:
+    """Tile graph features onto edge slots — replaces
+    ``batched_mul(gf, graph2edge_broadcaster)``
+    (``/root/reference/src/edgefninput.jl:6``)."""
+    return jnp.take(gf, edge_graph, axis=0, mode="clip")
+
+
+def broadcast_globals_to_nodes(gf: Array, node_graph: Array) -> Array:
+    """Tile graph features onto node slots — replaces
+    ``batched_mul(gf, graph2node_broadcaster)``
+    (``/root/reference/src/nodefninput.jl:5``)."""
+    return jnp.take(gf, node_graph, axis=0, mode="clip")

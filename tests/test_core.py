@@ -1,0 +1,114 @@
+"""GNCore / GNCoreList tests incl. oracle parity
+(mirrors ``/root/reference/test/runtests.jl:685-735``)."""
+
+import jax
+import numpy as np
+
+import graphnets_tpu as gn
+from oracle import gncore_dense, to_numpy_params
+
+ADJ1 = np.array([[1, 0, 1], [1, 1, 0], [0, 0, 1]])
+ADJ2 = np.array([[1, 0, 1, 0], [1, 1, 0, 1], [0, 0, 1, 0], [1, 1, 0, 1]])
+
+
+def rand_feats(rng, *shape):
+    return rng.normal(size=shape).astype(np.float32)
+
+
+def make_batch(rng, adjs, de, dn, dg, pad=None):
+    ef = [rand_feats(rng, int((a == 1).sum()), de) for a in adjs]
+    nf = [rand_feats(rng, a.shape[0], dn) for a in adjs]
+    gf = np.stack([rand_feats(rng, dg) for _ in adjs])
+    return gn.batch({"graphs": adjs, "ef": ef, "nf": nf, "gf": gf},
+                    pad=pad), (ef, nf, gf)
+
+
+def test_core_shapes():
+    rng = np.random.default_rng(0)
+    dims = (3, 4, 5)
+    x, _ = make_batch(rng, [ADJ1, ADJ2], *dims)
+    core = gn.GNCore(dims)
+    params = core.init(jax.random.PRNGKey(0))
+    y = gn.unbatch(core.apply(params, x))
+    assert y["ef"][0].shape == (5, 3)
+    assert y["nf"][1].shape == (4, 4)
+    assert np.stack(y["gf"]).shape == (2, 5)
+
+
+def test_core_oracle_parity():
+    rng = np.random.default_rng(1)
+    dims = (3, 4, 5)
+    adjs = [ADJ1, ADJ2]
+    x, (ef, nf, gf) = make_batch(rng, adjs, *dims,
+                                 pad=gn.PadSpec(16, 32, 4))
+    core = gn.GNCore(dims)
+    params = core.init(jax.random.PRNGKey(3))
+    y = gn.unbatch(core.apply(params, x))
+
+    o_ef, o_nf, o_gf = gncore_dense(adjs, ef, nf, gf,
+                                    to_numpy_params(params))
+    for b in range(2):
+        np.testing.assert_allclose(y["ef"][b], o_ef[b], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(y["nf"][b], o_nf[b], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.stack(y["gf"]), o_gf, rtol=1e-4, atol=1e-5)
+
+
+def test_core_batch_invariance():
+    rng = np.random.default_rng(2)
+    dims = (3, 4, 5)
+    e1 = int((ADJ1 == 1).sum())
+    ef1, nf1, gf1 = (rand_feats(rng, e1, 3), rand_feats(rng, 3, 4),
+                     rand_feats(rng, 5))
+    e2 = int((ADJ2 == 1).sum())
+    ef2, nf2, gf2 = (rand_feats(rng, e2, 3), rand_feats(rng, 4, 4),
+                     rand_feats(rng, 5))
+    core = gn.GNCore(dims)
+    params = core.init(jax.random.PRNGKey(5))
+
+    y_alone = gn.unbatch(core.apply(params, gn.batch(
+        {"graphs": [ADJ1], "ef": [ef1], "nf": [nf1], "gf": [gf1]})))
+    y_pair = gn.unbatch(core.apply(params, gn.batch(
+        {"graphs": [ADJ1, ADJ2], "ef": [ef1, ef2], "nf": [nf1, nf2],
+         "gf": [gf1, gf2]}, pad=gn.PadSpec(32, 64, 4))))
+    np.testing.assert_allclose(y_pair["ef"][0], y_alone["ef"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_pair["nf"][0], y_alone["nf"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_pair["gf"][0], y_alone["gf"][0],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_corelist():
+    rng = np.random.default_rng(3)
+    dims = (3, 4, 5)
+    x, _ = make_batch(rng, [ADJ1, ADJ2], *dims)
+    cl = gn.GNCoreList([gn.GNCore(dims) for _ in range(2)])
+    params = cl.init(jax.random.PRNGKey(0))
+    y = cl.apply(params, x)
+    # Sequential composition == applying each core in order.
+    cores = cl.cores
+    g = x
+    for i, c in enumerate(cores):
+        g = c.apply(params[str(i)], g)
+    np.testing.assert_allclose(np.asarray(y.nf), np.asarray(g.nf),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_encoder_core_decoder_stack():
+    """The sort-example composition: encoder GNBlock -> cores -> decoder
+    (``/root/reference/examples/sort/sort.jl:51-81``)."""
+    rng = np.random.default_rng(4)
+    vocab, d = 16, 32
+    adjs = [np.ones((4, 4), int), np.ones((3, 3), int)]
+    nf = [rand_feats(rng, 4, vocab), rand_feats(rng, 3, vocab)]
+    x = gn.batch({"graphs": adjs, "ef": None, "nf": nf, "gf": None},
+                 pad=gn.PadSpec(16, 32, 4))
+    enc = gn.GNBlock((0, vocab, 0), (d, d, d))
+    cores = gn.GNCoreList([gn.GNCore((d, d, d)) for _ in range(2)])
+    dec = gn.GNBlock((d, d, d), (2, 2, 0))
+    k = jax.random.PRNGKey(0)
+    ke, kc, kd = jax.random.split(k, 3)
+    p = {"enc": enc.init(ke), "core": cores.init(kc), "dec": dec.init(kd)}
+    y = dec.apply(p["dec"], cores.apply(p["core"],
+                                        enc.apply(p["enc"], x)))
+    assert y.nf.shape[-1] == 2 and y.ef.shape[-1] == 2 and y.gf is None
