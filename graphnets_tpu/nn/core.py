@@ -114,7 +114,13 @@ class LayerNorm(Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) / (jnp.sqrt(var) + self.eps)   # Flux: std + eps
+        # sqrt has an infinite gradient at 0; padded slots are all-zero rows
+        # (var == 0) and would poison parameter grads with 0 * inf = nan.
+        # The where-guard keeps the forward value identical and makes the
+        # var == 0 gradient 0.
+        safe = jnp.where(var > 0, var, 1.0)
+        std = jnp.where(var > 0, jnp.sqrt(safe), 0.0)
+        y = (xf - mean) / (std + self.eps)             # Flux: std + eps
         if self.affine:
             y = y * params["scale"] + params["bias"]
         return y.astype(x.dtype)

@@ -1,0 +1,134 @@
+"""Training loop machinery: train state, jitted step, sort-task trainer.
+
+The reference trains with Flux ``withgradient`` + ``AdamW(3e-4)``
+(``/root/reference/examples/sort/sort.jl:116-132``).  Here: optax AdamW, a
+jitted value-and-grad step over static bucket-padded batches, and optional
+data-parallel sharding (see ``graphnets_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.sort_task import SortTaskConfig, get_batch, sort_pad_spec
+from ..graph import GraphsTuple
+from ..models.encode_process_decode import EncodeProcessDecode
+from ..nn.core import Module
+from .losses import graph_loss_nf_ef, masked_accuracy
+
+__all__ = ["TrainState", "make_train_step", "train_sort", "SortTrainResult"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step, self.rng), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def create(model: Module, optimizer: optax.GradientTransformation,
+               key: jax.Array) -> "TrainState":
+        pk, rk = jax.random.split(key)
+        params = model.init(pk)
+        return TrainState(params=params,
+                          opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32), rng=rk)
+
+
+def make_train_step(
+    model: Module,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable[[GraphsTuple, GraphsTuple], jax.Array]
+        = graph_loss_nf_ef,
+    training: bool = True,
+):
+    """Build a jittable ``(state, x, y) -> (state, metrics)`` step."""
+
+    def step(state: TrainState, x: GraphsTuple, y: GraphsTuple):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_of(params):
+            pred = model.apply(params, x, training=training, rng=step_rng)
+            return loss_fn(pred, y), pred
+
+        (loss, pred), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "node_acc": masked_accuracy(pred.nf, y.nf, x.node_mask),
+            "edge_acc": masked_accuracy(pred.ef, y.ef, x.edge_mask),
+        }
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1, rng=rng), metrics
+
+    return step
+
+
+@dataclasses.dataclass
+class SortTrainResult:
+    state: TrainState
+    model: Module
+    metrics: dict
+    steps_per_sec: float
+
+
+def train_sort(
+    steps: int = 1000,
+    cfg: SortTaskConfig = SortTaskConfig(),
+    core_dims: Tuple[int, int, int] = (384, 384, 384),
+    n_cores: int = 2,
+    learning_rate: float = 3e-4,
+    seed: int = 0,
+    log_every: int = 0,
+    model: Optional[Module] = None,
+) -> SortTrainResult:
+    """Train the sort model — the reference's recipe
+    (``/root/reference/examples/sort/sort.jl:86-89,116-132``): encoder
+    ``(0, vocab, 0) -> core_dims``, ``n_cores`` GNCores, decoder to
+    ``(2, 2, 0)``, AdamW."""
+    if model is None:
+        model = EncodeProcessDecode(
+            x_dims=(0, cfg.vocab_size, 0), core_dims=core_dims,
+            y_dims=(2, 2, 0), n_cores=n_cores)
+    optimizer = optax.adamw(learning_rate)
+    state = TrainState.create(model, optimizer, jax.random.PRNGKey(seed))
+    step_fn = jax.jit(make_train_step(model, optimizer))
+
+    rng = np.random.default_rng(seed)
+    pad = sort_pad_spec(cfg)
+    metrics = {}
+    t0 = None
+    for i in range(steps):
+        x, y = get_batch(rng, cfg, pad)
+        state, metrics = step_fn(state, x, y)
+        if i == 0:
+            jax.block_until_ready(state.params)
+            t0 = time.perf_counter()  # exclude compile from throughput
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i + 1}: " + ", ".join(
+                f"{k}={float(v):.4f}" for k, v in metrics.items()))
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) if steps > 1 else float("inf")
+    return SortTrainResult(
+        state=state, model=model,
+        metrics={k: float(v) for k, v in metrics.items()},
+        steps_per_sec=(steps - 1) / dt if steps > 1 else 0.0)
