@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Headline benchmark: edges/s/chip for a 3-core GNBlock stack.
+
+Workload (BASELINE.md): batch of random directed graphs (128 nodes, avg
+degree 16 per node) through 3 residual GNCores at dims (384, 384, 384),
+forward pass, bf16 activations.
+
+``vs_baseline`` compares against the *reference's design on the same chip*:
+the dense PN^2 broadcaster batched-matmul formulation of GraphNets.jl
+(``/root/reference/src/gngraphbatch.jl``) implemented in JAX and run on the
+same hardware with the same numerics — the reference itself publishes no
+numbers (BASELINE.md), so the measured dense-design throughput is the
+baseline denominator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s/chip", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from graphnets_tpu.graph import GraphsTuple
+from graphnets_tpu.models.gn_core import GNCore, GNCoreList
+
+# Workload config
+B, N_PER_G, DEG, D = 8, 128, 16, 384
+DTYPE = jnp.bfloat16
+WARMUP, ITERS = 3, 10
+
+
+def build_graphs(seed=0):
+    rng = np.random.default_rng(seed)
+    adjs, efs, nfs, gfs = [], [], [], []
+    senders, receivers = [], []
+    for b in range(B):
+        s = rng.integers(0, N_PER_G, size=N_PER_G * DEG)
+        r = rng.integers(0, N_PER_G, size=N_PER_G * DEG)
+        senders.append(s + b * N_PER_G)
+        receivers.append(r + b * N_PER_G)
+    E = N_PER_G * DEG
+    N = N_PER_G
+    sg = np.concatenate(senders).astype(np.int32)
+    rg = np.concatenate(receivers).astype(np.int32)
+    ef = rng.normal(size=(B * E, D)).astype(np.float32)
+    nf = rng.normal(size=(B * N, D)).astype(np.float32)
+    gf = rng.normal(size=(B, D)).astype(np.float32)
+    g = GraphsTuple(
+        senders=jnp.asarray(sg), receivers=jnp.asarray(rg),
+        node_graph=jnp.asarray(np.repeat(np.arange(B, dtype=np.int32), N)),
+        edge_graph=jnp.asarray(np.repeat(np.arange(B, dtype=np.int32), E)),
+        n_node=jnp.full((B,), N, jnp.int32),
+        n_edge=jnp.full((B,), E, jnp.int32),
+        node_mask=jnp.ones((B * N,), bool),
+        edge_mask=jnp.ones((B * E,), bool),
+        graph_mask=jnp.ones((B,), bool),
+        ef=jnp.asarray(ef, DTYPE), nf=jnp.asarray(nf, DTYPE),
+        gf=jnp.asarray(gf, DTYPE),
+    )
+    return g, (sg, rg, ef, nf, gf)
+
+
+def cast_params(p):
+    return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
+
+
+def time_fn(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def bench_sparse(g, params, stack):
+    fn = jax.jit(lambda p, x: stack.apply(p, x).nf)
+    return time_fn(fn, params, g)
+
+
+def make_dense_inputs(raw):
+    """Dense PN^2 formulation of the same workload: 0/1 broadcaster tensors
+    exactly as the reference materializes them (feature-last layout)."""
+    sg, rg, ef, nf, gf = raw
+    PN, PE = N_PER_G, N_PER_G * N_PER_G
+    src_b = np.zeros((B, PN, PE), np.float32)
+    dst_b = np.zeros((B, PN, PE), np.float32)
+    e2n = np.zeros((B, PE, PN), np.float32)
+    e2g = np.zeros((B, PE, 1), np.float32)
+    ef_d = np.zeros((B, PE, D), np.float32)
+    for k in range(len(sg)):
+        b = k // (N_PER_G * DEG)
+        s = sg[k] - b * N_PER_G
+        r = rg[k] - b * N_PER_G
+        slot = r * PN + s
+        src_b[b, s, slot] = 1.0
+        dst_b[b, r, slot] = 1.0
+        e2n[b, slot, r] = 1.0
+        e2g[b, slot, 0] = 1.0
+        ef_d[b, slot] = ef[k]
+    nf_d = nf.reshape(B, PN, D)
+    return (jnp.asarray(src_b, DTYPE), jnp.asarray(dst_b, DTYPE),
+            jnp.asarray(e2n, DTYPE), jnp.asarray(e2g, DTYPE),
+            jnp.asarray(ef_d, DTYPE), jnp.asarray(nf_d, DTYPE),
+            jnp.asarray(gf, DTYPE))
+
+
+def dense_core_stack(params, dense_inputs):
+    """3 GNCores in the reference's dense dataflow (batched matmuls against
+    broadcasters; LN/FF over every dense slot, as the reference does)."""
+    src_b, dst_b, e2n, e2g, ef, nf, gf = dense_inputs
+    gf = gf[:, None, :]  # [B,1,D]
+    n2g = jnp.ones((B, N_PER_G, 1), DTYPE)
+    g2e = jnp.swapaxes(e2g, 1, 2)  # [B,1,PE]
+    g2n = jnp.swapaxes(n2g, 1, 2)
+
+    def ln(x, p):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        safe = jnp.where(var > 0, var, 1.0)
+        std = jnp.where(var > 0, jnp.sqrt(safe), 0.0)
+        return ((xf - mu) / (std + 1e-5) * p["scale"] + p["bias"]).astype(
+            x.dtype)
+
+    def lin(x, p):
+        return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+    def ff(x, p):
+        return lin(jnp.maximum(lin(x, p["0"]), 0), p["1"])
+
+    def block(p, ef, nf, gf):
+        src = jnp.einsum("bnd,bne->bed", nf, src_b)
+        dst = jnp.einsum("bnd,bne->bed", nf, dst_b)
+        gfe = jnp.einsum("bgd,bge->bed", gf, g2e)
+        h_ef = lin(jnp.concatenate([ef, src, dst, gfe], -1), p["edgefn"])
+        agg = jnp.einsum("bed,ben->bnd", h_ef, e2n)
+        gfn = jnp.einsum("bgd,bgn->bnd", gf, g2n)
+        h_nf = lin(jnp.concatenate([agg, nf, gfn], -1), p["nodefn"])
+        ep = jnp.einsum("bed,beg->bgd", h_ef, e2g)
+        np_ = jnp.einsum("bnd,bng->bgd", h_nf, n2g)
+        h_gf = lin(jnp.concatenate([ep, np_, gf], -1), p["graphfn"])
+        return h_ef, h_nf, h_gf
+
+    def core(p, ef, nf, gf):
+        bef, bnf, bgf = block(
+            p["block"],
+            ln(ef, p["gn1"]["edgeln"]), ln(nf, p["gn1"]["nodeln"]),
+            ln(gf, p["gn1"]["graphln"]))
+        fef = ff(ln(ef, p["gn2"]["edgeln"]), p["ffwd"]["eff"])
+        fnf = ff(ln(nf, p["gn2"]["nodeln"]), p["ffwd"]["nff"])
+        fgf = ff(ln(gf, p["gn2"]["graphln"]), p["ffwd"]["gff"])
+        return ef + bef + fef, nf + bnf + fnf, gf + bgf + fgf
+
+    for i in range(3):
+        ef, nf, gf = core(params[str(i)], ef, nf, gf)
+    return nf
+
+
+def main():
+    g, raw = build_graphs()
+    stack = GNCoreList([GNCore((D, D, D)) for _ in range(3)])
+    params = cast_params(stack.init(jax.random.PRNGKey(0)))
+    n_edges = int(np.sum(np.asarray(g.n_edge)))
+
+    t_sparse = bench_sparse(g, params, stack)
+    ours = n_edges / t_sparse
+
+    vs_baseline = None
+    try:
+        dense_inputs = make_dense_inputs(raw)
+        fn = jax.jit(dense_core_stack)
+        t_dense = time_fn(fn, params, dense_inputs)
+        dense = n_edges / t_dense
+        vs_baseline = ours / dense
+        print(f"# sparse: {ours:.3e} edges/s  dense-ref-design: "
+              f"{dense:.3e} edges/s  step {t_sparse*1e3:.2f} ms vs "
+              f"{t_dense*1e3:.2f} ms", file=sys.stderr)
+    except Exception as e:  # dense baseline may OOM on small chips
+        print(f"# dense baseline failed: {e}", file=sys.stderr)
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": "edges_per_s_per_chip_3core_gnblock_stack_fwd",
+        "value": ours,
+        "unit": "edges/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

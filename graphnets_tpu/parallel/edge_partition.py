@@ -1,0 +1,210 @@
+"""Edge-partitioned graph parallelism — sharding ONE large graph across chips.
+
+This is the framework's analogue of sequence/context parallelism (SURVEY.md
+§2.3, §5): the reference caps graphs at tiny sizes because of its dense PN^2
+edge space; here a single huge graph's edges are partitioned across the
+mesh's ``graph`` axis and each layer exchanges boundary (halo) node features
+over ICI.
+
+Partition strategy (v1):
+
+* Nodes are assigned to shards in contiguous blocks (balanced counts).
+* Each edge lives on the shard that **owns its receiver**, so the
+  edge->node ``segment_sum`` is entirely local (no communication on the
+  scatter side).
+* Sender features may live on remote shards: the edge update first
+  ``all_gather``-s node features over the axis (rides ICI), then gathers
+  senders by global id.  (v2: ppermute halo exchange of only boundary nodes,
+  overlapped with local aggregation.)
+* Graph-level aggregation is a local partial sum + ``psum`` over the axis;
+  the global update then computes identically on every shard (replicated).
+
+All of this runs inside ``shard_map`` over a ``Mesh`` axis; collectives are
+XLA ``all_gather``/``psum`` over ICI — the TPU-native replacement for the
+NCCL/MPI layer the reference never had.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph import GraphsTuple
+from ..models.gn_block import GNBlock
+from ..models import gn_block as _gnb
+from ..nn.core import Linear
+from ..ops import scatter
+
+__all__ = ["partition_edges", "PartitionedGraph", "gn_block_partitioned",
+           "gather_remote_node_features"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PartitionedGraph:
+    """One big graph, edge-partitioned over ``S`` shards.
+
+    Arrays carry a leading shard axis ``[S, ...]``:
+
+    * ``senders_global [S, Epad]``: global node id of each local edge's
+      source (may be remote).
+    * ``receivers_local [S, Epad]``: shard-local node index of the dest.
+    * ``edge_mask [S, Epad]``, ``node_mask [S, Npad]``.
+    * ``nf [S, Npad, DN]``: shard-local node features (contiguous global
+      blocks: shard s owns global nodes ``[s*Npad, s*Npad + Npad)``).
+    * ``ef [S, Epad, DE]`` optional edge features.
+    * ``gf [1, DG]`` optional single-graph global features (replicated).
+    """
+
+    senders_global: jax.Array
+    receivers_local: jax.Array
+    edge_mask: jax.Array
+    node_mask: jax.Array
+    nf: jax.Array
+    ef: Optional[jax.Array] = None
+    gf: Optional[jax.Array] = None
+
+    _children = ("senders_global", "receivers_local", "edge_mask",
+                 "node_mask", "nf", "ef", "gf")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, k) for k in self._children), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_shards(self) -> int:
+        return int(self.senders_global.shape[0])
+
+    @property
+    def nodes_per_shard(self) -> int:
+        return int(self.nf.shape[1])
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def partition_edges(senders: np.ndarray, receivers: np.ndarray,
+                    nf: np.ndarray, num_shards: int,
+                    ef: Optional[np.ndarray] = None,
+                    gf: Optional[np.ndarray] = None,
+                    edge_pad_multiple: int = 128) -> PartitionedGraph:
+    """Host-side partitioner: contiguous node blocks, edges to the receiver's
+    owner shard, equal static pad sizes across shards."""
+    N = nf.shape[0]
+    npad = -(-N // num_shards)
+    owner = np.minimum(receivers // npad, num_shards - 1)
+    # receivers < num_shards*npad by construction since npad*num_shards >= N
+    counts = np.bincount(owner, minlength=num_shards)
+    epad = int(-(-counts.max() // edge_pad_multiple) * edge_pad_multiple)
+
+    S = num_shards
+    sg = np.zeros((S, epad), np.int32)
+    rl = np.zeros((S, epad), np.int32)
+    em = np.zeros((S, epad), bool)
+    nm = np.zeros((S, npad), bool)
+    nfp = np.zeros((S, npad, nf.shape[1]), np.float32)
+    efp = (np.zeros((S, epad, ef.shape[1]), np.float32)
+           if ef is not None else None)
+    for s in range(S):
+        sel = owner == s
+        k = int(sel.sum())
+        sg[s, :k] = senders[sel]
+        rl[s, :k] = receivers[sel] - s * npad
+        em[s, :k] = True
+        lo, hi = s * npad, min((s + 1) * npad, N)
+        nm[s, : hi - lo] = True
+        nfp[s, : hi - lo] = nf[lo:hi]
+        if ef is not None:
+            efp[s, :k] = ef[sel]
+    return PartitionedGraph(
+        senders_global=jnp.asarray(sg), receivers_local=jnp.asarray(rl),
+        edge_mask=jnp.asarray(em), node_mask=jnp.asarray(nm),
+        nf=jnp.asarray(nfp),
+        ef=jnp.asarray(efp) if efp is not None else None,
+        gf=jnp.asarray(gf[None, :].astype(np.float32))
+        if gf is not None else None,
+    )
+
+
+def gather_remote_node_features(nf_local: jax.Array, global_idx: jax.Array,
+                                axis: str) -> jax.Array:
+    """All-gather node features over the mesh axis, then gather by global id.
+
+    v1 halo exchange: full all_gather over ICI.  ``nf_local: [Npad, DN]``
+    (this shard's block), ``global_idx: [Epad]`` global node ids.
+    """
+    all_nf = jax.lax.all_gather(nf_local, axis, tiled=True)  # [S*Npad, DN]
+    return jnp.take(all_nf, global_idx, axis=0, mode="clip")
+
+
+def gn_block_partitioned(block: GNBlock, params, pg: PartitionedGraph,
+                         mesh: Mesh, axis: str = "graph") -> PartitionedGraph:
+    """Apply a GNBlock to an edge-partitioned single graph via ``shard_map``.
+
+    Semantics identical to the unpartitioned block on the whole graph
+    (verified in tests against the single-device path); communication is one
+    ``all_gather`` (sender halo) + one ``psum`` (global aggregation) per
+    layer, both over ICI.
+    """
+    edgefn, nodefn, graphfn = block._nets()
+    de, dn, dg = block.in_dims
+
+    def local(params, sg, rl, em, nm, nf, ef, gf):
+        # shard_map leaves the sharded leading axis as size 1 — squeeze it.
+        sg, rl, em, nm, nf = sg[0], rl[0], em[0], nm[0], nf[0]
+        ef = ef[0] if ef is not None else None
+        Epad, Npad = sg.shape[0], nf.shape[0]
+        ef = ef if ef is not None else jnp.zeros((Epad, 0), nf.dtype)
+        gf = gf if gf is not None else jnp.zeros((1, 0), nf.dtype)
+
+        # -- edge update: remote sender halo + local receiver gather --------
+        src = gather_remote_node_features(nf, sg, axis)
+        dst = jnp.take(nf, rl, axis=0, mode="clip")
+        g2e = jnp.broadcast_to(gf[0], (Epad, gf.shape[1]))
+        edge_in = jnp.concatenate([ef, src, dst, g2e], axis=-1)
+        h_ef = edgefn.apply(params["edgefn"], edge_in)
+
+        # -- node update: local segment_sum (edges live with receivers) ----
+        agg = scatter.segment_sum(h_ef, rl, Npad, em,
+                                  indices_are_sorted=False)
+        g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
+        node_in = jnp.concatenate([agg, nf, g2n], axis=-1)
+        h_nf = nodefn.apply(params["nodefn"], node_in)
+
+        # -- global update: partial pools + psum, replicated compute --------
+        e_pool = jnp.sum(jnp.where(em[:, None], h_ef, 0.0), axis=0)
+        n_pool = jnp.sum(jnp.where(nm[:, None], h_nf, 0.0), axis=0)
+        pools = jax.lax.psum(jnp.concatenate([e_pool, n_pool]), axis)
+        graph_in = jnp.concatenate([pools, gf[0]])[None, :]
+        h_gf = graphfn.apply(params["graphfn"], graph_in)
+        # Restore the size-1 shard axis for sharded outputs.
+        return h_ef[None], h_nf[None], h_gf
+
+    shard = P(axis)
+    repl = P()
+    in_specs = (repl, shard, shard, shard, shard, shard,
+                shard if pg.ef is not None else repl,
+                repl)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(shard, shard, repl),
+        check_vma=False,
+    )
+    h_ef, h_nf, h_gf = fn(params, pg.senders_global, pg.receivers_local,
+                          pg.edge_mask, pg.node_mask, pg.nf, pg.ef, pg.gf)
+    de_o, dn_o, dg_o = block.out_dims
+    return pg.replace(
+        ef=h_ef if de_o > 0 else None,
+        nf=h_nf,
+        gf=h_gf if dg_o > 0 else None,
+    )

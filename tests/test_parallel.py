@@ -1,0 +1,145 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel training and
+edge-partitioned graph parallelism (correctness vs the single-device path).
+
+The reference has no distributed tests (SURVEY.md §4) — these set the model
+the driver's ``dryrun_multichip`` also exercises.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import graphnets_tpu as gn
+from graphnets_tpu.models.encode_process_decode import EncodeProcessDecode
+from graphnets_tpu.parallel.data_parallel import (make_dp_train_step,
+                                                  shard_batch, stack_shards)
+from graphnets_tpu.parallel.edge_partition import (gn_block_partitioned,
+                                                   partition_edges)
+from graphnets_tpu.parallel.mesh import make_mesh
+from graphnets_tpu.data.sort_task import SortTaskConfig, get_batch, \
+    sort_pad_spec
+from graphnets_tpu.training.train import TrainState, make_train_step
+
+
+def _mesh(cpu_devices, n=8, names=("data",)):
+    return make_mesh((n,), names, devices=cpu_devices)
+
+
+def test_dp_train_step_runs(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    cfg = SortTaskConfig(vocab_size=8, min_nodes=2, max_nodes=4,
+                         batch_size=2)
+    pad = sort_pad_spec(cfg)
+    rng = np.random.default_rng(0)
+    shards_x, shards_y = [], []
+    for _ in range(8):
+        x, y = get_batch(rng, cfg, pad)
+        shards_x.append(x)
+        shards_y.append(y)
+    X = shard_batch(stack_shards(shards_x), mesh)
+    Y = shard_batch(stack_shards(shards_y), mesh)
+
+    model = EncodeProcessDecode((0, cfg.vocab_size, 0), (16, 16, 16),
+                                (2, 2, 0), n_cores=1)
+    opt = optax.adamw(1e-3)
+    state = TrainState.create(model, opt, jax.random.PRNGKey(0))
+    step = make_dp_train_step(model, opt, mesh)
+    state2, metrics = step(state, X, Y)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_dp_matches_single_device(cpu_devices):
+    """DP gradient step over 4 shards == single-process step over the same
+    batches (mean loss, same params update)."""
+    mesh = _mesh(cpu_devices, 4)
+    cfg = SortTaskConfig(vocab_size=6, min_nodes=2, max_nodes=3,
+                         batch_size=2)
+    pad = sort_pad_spec(cfg)
+    rng = np.random.default_rng(1)
+    shards = [get_batch(rng, cfg, pad) for _ in range(4)]
+    X = stack_shards([s[0] for s in shards])
+    Y = stack_shards([s[1] for s in shards])
+
+    model = EncodeProcessDecode((0, cfg.vocab_size, 0), (8, 8, 8),
+                                (2, 2, 0), n_cores=1)
+    opt = optax.sgd(1e-2)
+    state0 = TrainState.create(model, opt, jax.random.PRNGKey(2))
+
+    dp_step = make_dp_train_step(model, opt, mesh)
+    state_dp, m_dp = dp_step(state0, shard_batch(X, mesh),
+                             shard_batch(Y, mesh))
+
+    # Single-device reference: mean loss over the same 4 shard-batches.
+    from graphnets_tpu.training.losses import graph_loss_nf_ef as _loss
+
+    def loss_of(params):
+        losses = []
+        for x, y in shards:
+            pred = model.apply(params, x)
+            losses.append(_loss(pred, y))
+        return jnp.mean(jnp.stack(losses))
+    loss, grads = jax.value_and_grad(loss_of)(state0.params)
+    updates, _ = opt.update(grads, state0.opt_state, state0.params)
+    params_ref = optax.apply_updates(state0.params, updates)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_edge_partitioned_matches_single_device(cpu_devices):
+    """Edge-partitioned GNBlock over 8 shards == unpartitioned GNBlock on
+    the same single large graph."""
+    mesh = _mesh(cpu_devices, 8, names=("graph",))
+    rng = np.random.default_rng(3)
+    N, avg_deg, dn, de, dg = 64, 4, 6, 5, 3
+    E = N * avg_deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, dn)).astype(np.float32)
+    ef = rng.normal(size=(E, de)).astype(np.float32)
+    gf = rng.normal(size=(dg,)).astype(np.float32)
+
+    block = gn.GNBlock((de, dn, dg), (7, 8, 9))
+    params = block.init(jax.random.PRNGKey(4))
+
+    # --- single-device reference via GraphsTuple ------------------------
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=jnp.asarray(ef), nf=jnp.asarray(nf), gf=jnp.asarray(gf)[None],
+    )
+    y_ref = block.apply(params, g)
+
+    # --- partitioned path ------------------------------------------------
+    pg = partition_edges(senders, receivers, nf, num_shards=8, ef=ef, gf=gf,
+                         edge_pad_multiple=8)
+    out = gn_block_partitioned(block, params, pg, mesh)
+
+    npad = pg.nodes_per_shard
+    nf_out = np.asarray(out.nf).reshape(8 * npad, -1)
+    nm = np.asarray(pg.node_mask).reshape(-1)
+    np.testing.assert_allclose(nf_out[nm], np.asarray(y_ref.nf),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.gf)[0],
+                               np.asarray(y_ref.gf)[0],
+                               rtol=1e-4, atol=1e-5)
+    # Edge outputs: compare per-shard rows against reference rows.
+    owner = np.minimum(receivers // npad, 7)
+    ef_ref = np.asarray(y_ref.ef)
+    ef_out = np.asarray(out.ef)
+    em = np.asarray(pg.edge_mask)
+    for s in range(8):
+        sel = np.where(owner == s)[0]
+        k = len(sel)
+        np.testing.assert_allclose(ef_out[s, :k], ef_ref[sel],
+                                   rtol=1e-4, atol=1e-5)
+        assert em[s, :k].all() and not em[s, k:].any()
