@@ -69,21 +69,41 @@ def cast_params(p):
     return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
 
 
-def time_fn(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
+def time_iterated(step_fn, carry, l1=2, l2=12, trials=3):
+    """Per-iteration device time of ``carry -> carry`` via in-jit lax.scan.
+
+    The axon tunnel acks before device completion (block_until_ready does
+    not actually block), and a host readback costs ~20+ ms fixed overhead —
+    so we iterate inside jit at two lengths, force a scalar readback, and
+    difference out the fixed cost.
+    """
+    def make(length):
+        @jax.jit
+        def f(c):
+            def body(c, _):
+                return step_fn(c), None
+            c2, _ = jax.lax.scan(body, c, None, length=length)
+            leaves = [l for l in jax.tree_util.tree_leaves(c2)
+                      if hasattr(l, "astype") and jnp.issubdtype(
+                          l.dtype, jnp.floating)]
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        return f
+
+    times = {}
+    for length in (l1, l2):
+        f = make(length)
+        float(f(carry))  # compile + warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f(carry))  # readback forces completion
+            best = min(best, time.perf_counter() - t0)
+        times[length] = best
+    return (times[l2] - times[l1]) / (l2 - l1)
 
 
 def bench_sparse(g, params, stack):
-    fn = jax.jit(lambda p, x: stack.apply(p, x).nf)
-    return time_fn(fn, params, g)
+    return time_iterated(lambda x: stack.apply(params, x), g)
 
 
 def make_dense_inputs(raw):
@@ -107,17 +127,18 @@ def make_dense_inputs(raw):
         e2g[b, slot, 0] = 1.0
         ef_d[b, slot] = ef[k]
     nf_d = nf.reshape(B, PN, D)
-    return (jnp.asarray(src_b, DTYPE), jnp.asarray(dst_b, DTYPE),
-            jnp.asarray(e2n, DTYPE), jnp.asarray(e2g, DTYPE),
-            jnp.asarray(ef_d, DTYPE), jnp.asarray(nf_d, DTYPE),
-            jnp.asarray(gf, DTYPE))
+    bcasts = (jnp.asarray(src_b, DTYPE), jnp.asarray(dst_b, DTYPE),
+              jnp.asarray(e2n, DTYPE), jnp.asarray(e2g, DTYPE))
+    feats = (jnp.asarray(ef_d, DTYPE), jnp.asarray(nf_d, DTYPE),
+             jnp.asarray(gf[:, None, :], DTYPE))
+    return bcasts, feats
 
 
-def dense_core_stack(params, dense_inputs):
+def dense_core_stack(params, bcasts, feats):
     """3 GNCores in the reference's dense dataflow (batched matmuls against
     broadcasters; LN/FF over every dense slot, as the reference does)."""
-    src_b, dst_b, e2n, e2g, ef, nf, gf = dense_inputs
-    gf = gf[:, None, :]  # [B,1,D]
+    src_b, dst_b, e2n, e2g = bcasts
+    ef, nf, gf = feats  # gf: [B,1,D]
     n2g = jnp.ones((B, N_PER_G, 1), DTYPE)
     g2e = jnp.swapaxes(e2g, 1, 2)  # [B,1,PE]
     g2n = jnp.swapaxes(n2g, 1, 2)
@@ -162,7 +183,7 @@ def dense_core_stack(params, dense_inputs):
 
     for i in range(3):
         ef, nf, gf = core(params[str(i)], ef, nf, gf)
-    return nf
+    return ef, nf, gf
 
 
 def main():
@@ -176,9 +197,9 @@ def main():
 
     vs_baseline = None
     try:
-        dense_inputs = make_dense_inputs(raw)
-        fn = jax.jit(dense_core_stack)
-        t_dense = time_fn(fn, params, dense_inputs)
+        bcasts, feats = make_dense_inputs(raw)
+        t_dense = time_iterated(
+            lambda f: dense_core_stack(params, bcasts, f), feats)
         dense = n_edges / t_dense
         vs_baseline = ours / dense
         print(f"# sparse: {ours:.3e} edges/s  dense-ref-design: "

@@ -127,10 +127,43 @@ class GNCore(Module):
         branch1 = block.apply(params["block"],
                               gn1.apply(params["gn1"], g),
                               training=training, rng=rngs[0])
+        if self._use_fused(g, training):
+            # Pallas: x + FF(LN2(x)) fused per feature set, then + branch1.
+            fused = self._fused_branch2(params, g)
+            return graphnet_add(fused, branch1)
         branch2 = ffwd.apply(params["ffwd"],
                              gn2.apply(params["gn2"], g),
                              training=training, rng=rngs[1])
         return graphnet_add(graphnet_add(g, branch1), branch2)
+
+    def _use_fused(self, g: GraphsTuple, training: bool) -> bool:
+        from ..ops.pallas.fused_ffn import supports_fused_ffn
+        from ..utils.config import use_pallas
+        if not use_pallas() or (training and self.dropout > 0):
+            return False
+        return (supports_fused_ffn(g.num_edge_slots, self.dims[0])
+                and supports_fused_ffn(g.num_node_slots, self.dims[1]))
+
+    def _fused_branch2(self, params, g: GraphsTuple) -> GraphsTuple:
+        from ..ops.pallas.fused_ffn import (ln_ffn_residual,
+                                            ln_ffn_residual_reference)
+        ln2, ff = params["gn2"], params["ffwd"]
+
+        def one(x, ln_key, ff_key, fused=True):
+            ln_p = ln2[ln_key]
+            f = ff[ff_key]
+            fn = ln_ffn_residual if fused else ln_ffn_residual_reference
+            return fn(x, ln_p["scale"], ln_p["bias"],
+                      f["0"]["w"], f["0"]["b"], f["1"]["w"], f["1"]["b"])
+
+        from ..ops.pallas.fused_ffn import supports_fused_ffn
+        return g.with_features(
+            ef=one(g.ef, "edgeln", "eff"),
+            nf=one(g.nf, "nodeln", "nff"),
+            gf=one(g.gf, "graphln", "gff",
+                   fused=supports_fused_ffn(g.num_graph_slots,
+                                            self.dims[2])),
+        )
 
 
 @dataclasses.dataclass(frozen=True)

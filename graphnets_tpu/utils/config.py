@@ -1,0 +1,46 @@
+"""Global framework configuration (the reference has none — SURVEY.md §5;
+hyperparameters live in constructors, runtime switches live here)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # Use Pallas TPU kernels on the hot paths (pure-JAX path remains the
+    # numerics oracle and the fallback for unsupported shapes/backends).
+    use_pallas: bool = False
+    # Run Pallas kernels in interpreter mode (CPU debugging/testing).
+    pallas_interpret: bool = False
+
+
+_config = Config(
+    use_pallas=os.environ.get("GRAPHNETS_TPU_PALLAS", "auto") == "1",
+    pallas_interpret=os.environ.get("GRAPHNETS_TPU_PALLAS_INTERPRET",
+                                    "0") == "1",
+)
+
+if os.environ.get("GRAPHNETS_TPU_PALLAS", "auto") == "auto":
+    # Default on only when the default backend is a TPU-like platform.
+    try:
+        import jax
+        _config.use_pallas = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        _config.use_pallas = False
+
+
+def get_config() -> Config:
+    return _config
+
+
+def use_pallas() -> bool:
+    return _config.use_pallas
+
+
+def enable_pallas(flag: bool = True, interpret: Optional[bool] = None):
+    _config.use_pallas = flag
+    if interpret is not None:
+        _config.pallas_interpret = interpret

@@ -23,6 +23,13 @@ except Exception:
 _CPU = jax.devices("cpu")[0]
 jax.config.update("jax_default_device", _CPU)
 
+# Pallas TPU kernels cannot compile for the CPU test backend; the pure-JAX
+# oracle path is what tests verify.  Kernel-math tests opt in to interpreter
+# mode explicitly.
+from graphnets_tpu.utils.config import enable_pallas  # noqa: E402
+
+enable_pallas(False)
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,85 @@
+"""Neighbor sampling + large-graph node classification (BASELINE configs
+4-5's single-host slice): static shapes, receptive-field correctness, and a
+small end-to-end training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphnets_tpu.data.large_graph import LargeGraph, NeighborSampler
+from graphnets_tpu.models.encode_process_decode import EncodeProcessDecode
+from graphnets_tpu.models.gn_block import GNBlock
+from graphnets_tpu.training.losses import masked_logit_crossentropy
+
+
+def random_graph(n=200, avg_deg=6, d=16, n_classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    e = n * avg_deg
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    labels = rng.integers(0, n_classes, n)
+    # features weakly correlated with labels so learning is possible
+    feat = rng.normal(size=(n, d)).astype(np.float32)
+    feat[:, :n_classes] += 3.0 * np.eye(n_classes)[labels]
+    return LargeGraph.from_coo(senders, receivers, feat, labels), n_classes
+
+
+def test_csc_construction():
+    g, _ = random_graph()
+    # every edge (indptr range of node v) has receiver v in the original COO
+    deg = g.indptr[1:] - g.indptr[:-1]
+    assert deg.sum() == g.num_edges
+    assert (deg >= 0).all()
+
+
+def test_sampler_static_shapes():
+    g, _ = random_graph()
+    s = NeighborSampler(g, fanouts=(5, 3), batch_size=8, seed=1)
+    shapes = set()
+    for seeds in (np.arange(8), np.arange(50, 58), np.arange(3)):  # short too
+        b = s.sample(seeds)
+        shapes.add((b.graph.nf.shape, b.graph.senders.shape,
+                    b.labels.shape))
+    assert len(shapes) == 1
+
+
+def test_sampler_edges_point_to_requesting_node():
+    g, _ = random_graph()
+    s = NeighborSampler(g, fanouts=(4,), batch_size=4, seed=2)
+    seeds = np.array([0, 1, 2, 3])
+    b = s.sample(seeds)
+    E = int(b.graph.n_edge[0])
+    recv = np.asarray(b.graph.receivers)[:E]
+    assert (recv < 4).all()  # one layer: all edges target seed positions
+
+
+def test_node_classification_learns():
+    g, n_classes = random_graph(n=300, d=16, seed=3)
+    sampler = NeighborSampler(g, fanouts=(8,), batch_size=32, seed=4)
+    model = EncodeProcessDecode((0, 16, 0), (32, 32, 32),
+                                (1, n_classes, 0), n_cores=1)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, graph, labels, label_mask, seed_idx):
+        def loss_fn(p):
+            pred = model.apply(p, graph)
+            logits = pred.nf[seed_idx]
+            onehot = jax.nn.one_hot(labels, n_classes)
+            return masked_logit_crossentropy(logits, onehot, label_mask)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    train_nodes = np.arange(g.num_nodes)
+    for epoch in range(4):
+        for b in sampler.epoch(train_nodes):
+            params, opt_state, loss = step(
+                params, opt_state, b.graph, b.labels, b.label_mask,
+                b.seed_local_idx)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
