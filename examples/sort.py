@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""The list-sorting example — the reference's north-star task
+(``/root/reference/examples/sort/sort.jl``), TPU-native.
+
+Trains encoder -> 2x GNCore -> decoder to sort 2-10 integers (vocab 100) on
+fully-connected graphs: node targets = "is minimum", edge targets =
+"consecutive in sorted order".  Reference recipe: batch 4, AdamW 3e-4, dims
+(384, 384, 384).
+
+Usage:
+    python examples/sort.py --steps 2000 --ckpt /tmp/sort_ckpt
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+
+from graphnets_tpu.data.sort_task import SortTaskConfig, gen_sample, \
+    get_batch, sort_pad_spec
+from graphnets_tpu.training.train import train_sort
+from graphnets_tpu.utils.metrics import MetricLogger
+
+
+def show_sample(model, state, cfg):
+    """Print one sample's prediction vs target (the reference renders SVG;
+    we print the predicted ordering)."""
+    rng = np.random.default_rng(123)
+    pad = sort_pad_spec(SortTaskConfig(cfg.vocab_size, cfg.min_nodes,
+                                       cfg.max_nodes, 1))
+    one = SortTaskConfig(cfg.vocab_size, cfg.min_nodes, cfg.max_nodes, 1)
+    x, y = get_batch(rng, one, pad)
+    pred = model.apply(state.params, x)
+    n = int(np.asarray(x.n_node)[0])
+    values_onehot = np.asarray(x.nf)[:n]
+    values = values_onehot.argmax(-1) + 1
+    is_min_pred = np.asarray(pred.nf)[:n].argmax(-1)
+    is_min_true = np.asarray(y.nf)[:n].argmax(-1)
+    print(f"values:      {values.tolist()}")
+    print(f"is_min pred: {is_min_pred.tolist()}")
+    print(f"is_min true: {is_min_true.tolist()}")
+    e = int(np.asarray(x.n_edge)[0])
+    ef_pred = np.asarray(pred.ef)[:e].argmax(-1).reshape(n, n, order="F")
+    ef_true = np.asarray(y.ef)[:e].argmax(-1).reshape(n, n, order="F")
+    print(f"edge-matrix match: {(ef_pred == ef_true).mean():.2%}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--core-dim", type=int, default=384)
+    ap.add_argument("--n-cores", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--ckpt", type=str, default=None)
+    args = ap.parse_args()
+
+    cfg = SortTaskConfig(batch_size=args.batch_size)
+    res = train_sort(steps=args.steps, cfg=cfg,
+                     core_dims=(args.core_dim,) * 3, n_cores=args.n_cores,
+                     learning_rate=args.lr, seed=args.seed,
+                     log_every=args.log_every)
+    print(f"final metrics: {res.metrics}")
+    print(f"throughput: {res.steps_per_sec:.2f} steps/s")
+    show_sample(res.model, res.state, cfg)
+
+    if args.ckpt:
+        from graphnets_tpu.training.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.ckpt)
+        mgr.save(args.steps, res.state, wait=True)
+        mgr.close()
+        print(f"checkpoint saved to {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,13 +35,9 @@ class LargeGraph:
     def from_coo(senders: np.ndarray, receivers: np.ndarray,
                  node_feat: np.ndarray,
                  labels: Optional[np.ndarray] = None) -> "LargeGraph":
+        from ..runtime import native
         n = node_feat.shape[0]
-        order = np.argsort(receivers, kind="stable")
-        src = np.ascontiguousarray(senders[order]).astype(np.int64)
-        recv_sorted = receivers[order]
-        indptr = np.zeros(n + 1, np.int64)
-        np.add.at(indptr, recv_sorted + 1, 1)
-        np.cumsum(indptr, out=indptr)
+        indptr, src = native.csc_from_coo(senders, receivers, n)
         return LargeGraph(indptr=indptr, src=src, node_feat=node_feat,
                           labels=labels)
 
@@ -106,26 +102,33 @@ class NeighborSampler:
         frontier = nodes[0]
         frontier_pos = np.arange(n_seeds)
         next_pos_start = n_seeds
+        from ..runtime import native
         for f in self.fanouts:
-            deg = g.in_degree(frontier)
             # sample up to f incoming edges per frontier node
-            new_src, e_s, e_r = [], [], []
-            for i, v in enumerate(frontier):
-                d = deg[i]
-                if d == 0:
-                    continue
-                k = min(f, int(d))
-                sel = self.rng.choice(int(d), size=k, replace=False)
-                srcs = g.src[g.indptr[v]: g.indptr[v + 1]][sel]
-                new_src.append(srcs)
-                e_s.append(np.arange(len(srcs)))  # placeholder
-                e_r.append(np.full(len(srcs), frontier_pos[i]))
-            if new_src:
-                srcs = np.concatenate(new_src)
-                recv = np.concatenate(e_r)
+            if native.available() and len(frontier):
+                srcs, recv = native.sample_layer(
+                    g.indptr, g.src, np.asarray(frontier, np.int64),
+                    np.asarray(frontier_pos, np.int64), f,
+                    int(self.rng.integers(1, 2 ** 62)))
             else:
-                srcs = np.zeros((0,), np.int64)
-                recv = np.zeros((0,), np.int64)
+                deg = g.in_degree(np.asarray(frontier, np.int64)) \
+                    if len(frontier) else np.zeros(0, np.int64)
+                new_src, e_r = [], []
+                for i, v in enumerate(frontier):
+                    d = deg[i]
+                    if d == 0:
+                        continue
+                    k = min(f, int(d))
+                    sel = self.rng.choice(int(d), size=k, replace=False)
+                    s_ = g.src[g.indptr[v]: g.indptr[v + 1]][sel]
+                    new_src.append(s_)
+                    e_r.append(np.full(len(s_), frontier_pos[i]))
+                if new_src:
+                    srcs = np.concatenate(new_src)
+                    recv = np.concatenate(e_r)
+                else:
+                    srcs = np.zeros((0,), np.int64)
+                    recv = np.zeros((0,), np.int64)
             pos = next_pos_start + np.arange(len(srcs))
             senders_l.append(pos)
             receivers_l.append(recv)

@@ -272,20 +272,10 @@ def batch(
                 f"graph {i}: ef has {ef_list[i].shape[0]} rows, adjacency has "
                 f"{e} edges")
 
-    # --- concatenate into one big graph ------------------------------------
+    # --- concatenate into one big graph (native C++ fast path) -------------
+    from .runtime import native
     n_node = np.array([a.shape[0] for a in adj_mats], dtype=np.int32)
-    node_offset = np.concatenate([[0], np.cumsum(n_node)]).astype(np.int32)
-    senders_l, receivers_l, n_edge_l = [], [], []
-    for i, a in enumerate(adj_mats):
-        s, r = _adj_to_coo(a)
-        senders_l.append(s + node_offset[i])
-        receivers_l.append(r + node_offset[i])
-        n_edge_l.append(len(s))
-    n_edge = np.array(n_edge_l, dtype=np.int32)
-    senders = (np.concatenate(senders_l) if senders_l
-               else np.zeros((0,), np.int32)).astype(np.int32)
-    receivers = (np.concatenate(receivers_l) if receivers_l
-                 else np.zeros((0,), np.int32)).astype(np.int32)
+    senders, receivers, n_edge = native.batch_coo(adj_mats)
 
     N, E, G = int(n_node.sum()), int(n_edge.sum()), B
 

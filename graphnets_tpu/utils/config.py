@@ -23,13 +23,11 @@ _config = Config(
                                     "0") == "1",
 )
 
-if os.environ.get("GRAPHNETS_TPU_PALLAS", "auto") == "auto":
-    # Default on only when the default backend is a TPU-like platform.
-    try:
-        import jax
-        _config.use_pallas = jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        _config.use_pallas = False
+# Default: off.  Measured on v5e, the 3-core stack at D=384 is FLOP-bound and
+# XLA reaches ~86% of peak on the LN->FFN->residual chain, so the fused
+# kernel buys nothing there (it matches, 228us vs 228us per FF-edges pass)
+# while adding compile time.  Enable with GRAPHNETS_TPU_PALLAS=1 for
+# bandwidth-bound configs (small D) — the kernel is parity-tested either way.
 
 
 def get_config() -> Config:
