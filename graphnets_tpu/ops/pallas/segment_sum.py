@@ -1,0 +1,169 @@
+"""Sorted segment-sum as a Pallas TPU kernel — the hot aggregation op.
+
+``jax.ops.segment_sum`` lowers to scatter-add, which on TPU costs ~13x the
+memory-bound roofline (measured 239us vs ~18us for E=16384, D=384 on v5e).
+The framework's canonical edge order (column-major adjacency, see
+``graph.py``) makes ``receivers`` globally sorted, i.e. the edge array is
+CSR-by-destination.  This kernel exploits that: grid over node tiles, each
+tile's edge range is contiguous ``[indptr[n0], indptr[n0 + TN])``; edges are
+DMA'd in fixed-size chunks and reduced with a one-hot matmul on the MXU
+(``[TN, TE] @ [TE, D]``) — scatter becomes dense compute.
+
+Requirements (checked by ``supports_sorted_segment_sum``; callers fall back
+to ``jax.ops.segment_sum``): segment ids sorted ascending, ``E`` divisible
+by the edge chunk, ``D`` lane-aligned.  Padded edges must target padded
+segments (the batch layout guarantees this), so no masking is needed.
+
+Backward: d/d ef = gather(g, receivers) — cheap in XLA; custom_vjp below.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sorted_segment_sum", "supports_sorted_segment_sum"]
+
+
+def _interpret() -> bool:
+    from ...utils.config import get_config
+    return get_config().pallas_interpret
+
+
+def _pick(n, candidates):
+    for c in candidates:
+        if n % c == 0 and n >= c:
+            return c
+    return None
+
+
+def supports_sorted_segment_sum(num_rows: int, num_segments: int,
+                                dim: int) -> bool:
+    return (dim % 128 == 0
+            and _pick(num_rows, (512, 256, 128)) is not None
+            and num_rows >= 128)
+
+
+def _kernel(bounds_ref,     # scalar prefetch: [grid+1] edge offsets
+            x_hbm,          # [E, D] in HBM/ANY
+            seg_hbm,        # [E, 1] int32 in HBM/ANY
+            out_ref,        # [TN, D] VMEM block
+            x_buf, seg_buf, acc_ref, sems,
+            *, TE: int, TN: int, D: int, E: int):
+    i = pl.program_id(0)
+    start = bounds_ref[i]
+    end = bounds_ref[i + 1]
+    n0 = i * TN
+
+    acc_ref[:] = jnp.zeros((TN, D), jnp.float32)
+    nchunks = pl.cdiv(end - start, TE)
+
+    def body(k, _):
+        want = start + k * TE
+        # Clamp the DMA window so it never runs past E (TE divides E, so
+        # E - TE >= 0); the window then covers [want, min(want+TE, E)) and
+        # the validity mask drops rows outside [want, end).
+        off = jnp.minimum(want, E - TE)
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(off, TE), :], x_buf, sems.at[0])
+        cp_s = pltpu.make_async_copy(
+            seg_hbm.at[pl.ds(off, TE), :], seg_buf, sems.at[1])
+        cp_x.start()
+        cp_s.start()
+        cp_x.wait()
+        cp_s.wait()
+        idx = jax.lax.broadcasted_iota(jnp.int32, (TE, TN), 1)
+        local = seg_buf[:] - n0                       # [TE, 1]
+        grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
+        valid = (grow >= want) & (grow < end)
+        onehot = jnp.where((local == idx) & valid, 1.0, 0.0).astype(
+            x_buf.dtype)                              # [TE, TN]
+        acc_ref[:] += jax.lax.dot_general(
+            onehot, x_buf[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
+    E, D = x.shape
+    TE = _pick(E, (512, 256, 128))
+    TN = _pick(num_segments, (256, 128, 64, 32, 16, 8)) or num_segments
+    pad_segments = num_segments
+    if num_segments % TN != 0 or num_segments < 8:
+        TN = 8
+        pad_segments = ((num_segments + 7) // 8) * 8
+    grid = pad_segments // TN
+
+    # Edge offsets of each node-tile boundary (CSR row pointers at tile
+    # granularity).  searchsorted on the sorted segment ids.
+    boundaries = jnp.searchsorted(
+        seg, jnp.arange(0, pad_segments + TN, TN, dtype=seg.dtype),
+        side="left").astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, TE=TE, TN=TN, D=D, E=E),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((TN, D), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((TE, D), x.dtype),
+                pltpu.VMEM((TE, 1), jnp.int32),
+                pltpu.VMEM((TN, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((pad_segments, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * TN * D,
+            bytes_accessed=E * D * x.dtype.itemsize
+            + pad_segments * D * x.dtype.itemsize + E * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(boundaries, x, seg.astype(jnp.int32).reshape(-1, 1))
+    return out[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _ss(x, seg, num_segments):
+    return _forward(x, seg, num_segments)
+
+
+def _ss_fwd(x, seg, num_segments):
+    return _forward(x, seg, num_segments), seg
+
+
+def _ss_bwd(num_segments, seg, g):
+    # d segment_sum / d x = gather by segment id; seg gets a zero tangent.
+    return (jnp.take(g, seg, axis=0, mode="clip"),
+            jnp.zeros(seg.shape, jax.dtypes.float0))
+
+
+_ss.defvjp(_ss_fwd, _ss_bwd)
+
+
+def sorted_segment_sum(x: jax.Array, seg: jax.Array,
+                       num_segments: int) -> jax.Array:
+    """Segment sum over rows of ``x`` grouped by sorted ``seg`` ids.
+
+    Falls back to ``jax.ops.segment_sum`` for unsupported shapes.
+    """
+    if not supports_sorted_segment_sum(x.shape[0], num_segments, x.shape[1]):
+        return jax.ops.segment_sum(x, seg, num_segments=num_segments,
+                                   indices_are_sorted=True)
+    return _ss(x, seg, num_segments)

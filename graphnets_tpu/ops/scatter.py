@@ -48,13 +48,26 @@ def gather_nodes(nf: Array, idx: Array) -> Array:
 
 def segment_sum(x: Array, segment_ids: Array, num_segments: int,
                 mask: Optional[Array] = None,
-                indices_are_sorted: bool = True) -> Array:
+                indices_are_sorted: bool = True,
+                sorted_pad_safe: bool = False) -> Array:
     """Masked ``jax.ops.segment_sum`` with f32 accumulation.
 
     ``indices_are_sorted`` defaults True: canonical edge order is sorted by
     (graph, receiver), and node/edge->graph segment ids are sorted by
     construction.
+
+    ``sorted_pad_safe=True`` asserts the batch-layout invariant that padded
+    rows target padded segments (so the mask is redundant) and the ids are
+    sorted; with Pallas enabled this routes to the CSR one-hot-matmul kernel
+    (``ops.pallas.segment_sum``), ~10x faster than XLA scatter-add on TPU.
     """
+    from ..utils.config import use_pallas
+    if sorted_pad_safe and use_pallas():
+        from .pallas.segment_sum import (sorted_segment_sum,
+                                         supports_sorted_segment_sum)
+        if supports_sorted_segment_sum(x.shape[0], num_segments,
+                                       x.shape[-1]):
+            return sorted_segment_sum(x, segment_ids, num_segments)
     x = _mask_rows(x, mask)
     acc = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
     out = jax.ops.segment_sum(acc, segment_ids, num_segments=num_segments,
@@ -96,7 +109,7 @@ def aggregate_edges_for_nodes(ef: Array, receivers: Array, num_nodes: int,
     (``/root/reference/src/nodefninput.jl:3``,
     ``/root/reference/src/gngraphbatch.jl:158-170``)."""
     return segment_sum(ef, receivers, num_nodes, edge_mask,
-                       indices_are_sorted=False)
+                       indices_are_sorted=False, sorted_pad_safe=True)
 
 
 def aggregate_edges_for_globals(ef: Array, edge_graph: Array, num_graphs: int,
@@ -105,7 +118,7 @@ def aggregate_edges_for_globals(ef: Array, edge_graph: Array, num_graphs: int,
     ``batched_mul(ef, edge2graph_broadcaster)``
     (``/root/reference/src/graphfninput.jl:3``)."""
     return segment_sum(ef, edge_graph, num_graphs, edge_mask,
-                       indices_are_sorted=True)
+                       indices_are_sorted=True, sorted_pad_safe=True)
 
 
 def aggregate_nodes_for_globals(nf: Array, node_graph: Array, num_graphs: int,
@@ -114,7 +127,7 @@ def aggregate_nodes_for_globals(nf: Array, node_graph: Array, num_graphs: int,
     ``batched_mul(nf, node2graph_broadcaster)``
     (``/root/reference/src/graphfninput.jl:4``)."""
     return segment_sum(nf, node_graph, num_graphs, node_mask,
-                       indices_are_sorted=True)
+                       indices_are_sorted=True, sorted_pad_safe=True)
 
 
 def broadcast_globals_to_edges(gf: Array, edge_graph: Array) -> Array:

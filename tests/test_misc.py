@@ -1,0 +1,82 @@
+"""Misc surface: tensor-parallel shardings, warmup/compilation cache,
+per-graph extractors, examples run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import graphnets_tpu as gn
+from graphnets_tpu.models.gn_core import GNCore
+from graphnets_tpu.parallel.mesh import make_mesh
+from graphnets_tpu.parallel.tensor_parallel import (param_shardings,
+                                                    shard_params)
+from graphnets_tpu.util import (get_edge_features, get_graph_features,
+                                get_node_features)
+
+
+def test_tp_shardings(cpu_devices):
+    mesh = make_mesh((2, 4), ("data", "model"), devices=cpu_devices)
+    core = GNCore((128, 128, 128))
+    params = core.init(jax.random.PRNGKey(0))
+    sh = param_shardings(params, mesh, min_size=1 << 12)
+    # FF weights shard over model axis; LN params replicated
+    eff0 = sh["ffwd"]["eff"]["0"]["w"]
+    assert eff0.spec == P(None, "model")
+    eff1 = sh["ffwd"]["eff"]["1"]["w"]
+    assert eff1.spec == P("model", None)
+    assert sh["gn1"]["edgeln"]["scale"].spec == P()
+
+    placed = shard_params(params, mesh, min_size=1 << 12)
+    leaf = placed["ffwd"]["eff"]["0"]["w"]
+    assert len(leaf.sharding.device_set) == 8  # spans the mesh
+
+    # sharded apply still computes correctly
+    adj = np.ones((3, 3), int)
+    rng = np.random.default_rng(0)
+    x = gn.batch({"graphs": [adj], "ef": [rng.normal(size=(9, 128)).astype(np.float32)],
+                  "nf": [rng.normal(size=(3, 128)).astype(np.float32)],
+                  "gf": np.zeros((1, 128), np.float32)})
+    y_ref = core.apply(params, x)
+    y_tp = core.apply(placed, x)
+    np.testing.assert_allclose(np.asarray(y_tp.nf), np.asarray(y_ref.nf),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_warmup_and_cache(tmp_path):
+    from graphnets_tpu.utils.warmup import enable_compilation_cache, warmup
+    d = enable_compilation_cache(str(tmp_path / "xla_cache"))
+    warmup(dims=(8, 8, 8))
+    assert d
+
+
+def test_per_graph_extractors():
+    adjs = [np.array([[1, 1], [0, 1]]), np.array([[1]])]
+    rng = np.random.default_rng(0)
+    ef = [rng.normal(size=(3, 2)).astype(np.float32),
+          rng.normal(size=(1, 2)).astype(np.float32)]
+    nf = [rng.normal(size=(2, 3)).astype(np.float32),
+          rng.normal(size=(1, 3)).astype(np.float32)]
+    gf = rng.normal(size=(2, 4)).astype(np.float32)
+    g = gn.batch({"graphs": adjs, "ef": ef, "nf": nf, "gf": gf})
+    np.testing.assert_allclose(get_edge_features(g, 1), ef[1])
+    np.testing.assert_allclose(get_node_features(g, 0), nf[0])
+    np.testing.assert_allclose(get_graph_features(g, 1), gf[1])
+
+
+def test_examples_run():
+    import subprocess
+    import sys
+    import os
+    env = dict(os.environ)
+    # Run the example on CPU without claiming the TPU tunnel: skip the axon
+    # sitecustomize registration and pin the platform.
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "examples/simple.py"],
+                       capture_output=True, text=True, timeout=600,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "example 3 ok" in r.stdout

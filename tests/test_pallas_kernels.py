@@ -95,3 +95,55 @@ def test_gncore_fused_matches_pure(interpret_mode):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(y_fused["nf"][b], y_pure["nf"][b],
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("n_seg", [64, 9])
+def test_sorted_segment_sum_matches(interpret_mode, dtype, n_seg):
+    from graphnets_tpu.ops.pallas.segment_sum import sorted_segment_sum
+    E, D = 512, 128
+    rng = np.random.default_rng(0)
+    seg = jnp.asarray(np.sort(rng.integers(0, n_seg, E)).astype(np.int32))
+    x = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32), dtype)
+    out = sorted_segment_sum(x, seg, n_seg)
+    ref = jax.ops.segment_sum(x.astype(jnp.float32), seg,
+                              num_segments=n_seg).astype(dtype)
+    tol = 1e-5 if dtype == jnp.float32 else 8e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_sorted_segment_sum_grad(interpret_mode):
+    from graphnets_tpu.ops.pallas.segment_sum import sorted_segment_sum
+    E, N, D = 256, 32, 128
+    rng = np.random.default_rng(1)
+    seg = jnp.asarray(np.sort(rng.integers(0, N, E)).astype(np.int32))
+    x = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(sorted_segment_sum(x, seg, N) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(
+        jax.ops.segment_sum(x, seg, num_segments=N) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gnblock_with_pallas_segsum_matches(interpret_mode):
+    """Full GNBlock with the Pallas aggregation path == pure path."""
+    import graphnets_tpu as gn
+    rng = np.random.default_rng(2)
+    d = 128
+    adjs = [np.ones((8, 8), int), np.ones((8, 8), int)]
+    ef = [rng.normal(size=(64, d)).astype(np.float32) for _ in range(2)]
+    nf = [rng.normal(size=(8, d)).astype(np.float32) for _ in range(2)]
+    x = gn.batch({"graphs": adjs, "ef": ef, "nf": nf, "gf": None},
+                 pad=gn.PadSpec(24, 256, 3))
+    block = gn.GNBlock((d, d, 0), (d, d, d))
+    params = block.init(jax.random.PRNGKey(0))
+    y_pallas = gn.unbatch(block.apply(params, x))
+    enable_pallas(False)
+    y_pure = gn.unbatch(block.apply(params, x))
+    for b in range(2):
+        np.testing.assert_allclose(y_pallas["nf"][b], y_pure["nf"][b],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(y_pallas["ef"][b], y_pure["ef"][b],
+                                   rtol=1e-4, atol=1e-4)
