@@ -61,14 +61,14 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] edge offsets
     n0 = i * TN
 
     acc_ref[:] = jnp.zeros((TN, D), jnp.float32)
-    nchunks = pl.cdiv(end - start, TE)
+    # Mosaic requires DMA offsets provably aligned to the sublane tiling:
+    # iterate TE-aligned windows covering [start, end) and mask both ends.
+    # Windows stay in bounds because TE divides E and start < end <= E.
+    start_al = (start // TE) * TE
+    nchunks = pl.cdiv(end - start_al, TE)
 
     def body(k, _):
-        want = start + k * TE
-        # Clamp the DMA window so it never runs past E (TE divides E, so
-        # E - TE >= 0); the window then covers [want, min(want+TE, E)) and
-        # the validity mask drops rows outside [want, end).
-        off = jnp.minimum(want, E - TE)
+        off = pl.multiple_of(start_al + k * TE, TE)
         cp_x = pltpu.make_async_copy(
             x_hbm.at[pl.ds(off, TE), :], x_buf, sems.at[0])
         cp_s = pltpu.make_async_copy(
@@ -80,7 +80,7 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] edge offsets
         idx = jax.lax.broadcasted_iota(jnp.int32, (TE, TN), 1)
         local = seg_buf[:] - n0                       # [TE, 1]
         grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
-        valid = (grow >= want) & (grow < end)
+        valid = (grow >= start) & (grow < end)
         onehot = jnp.where((local == idx) & valid, 1.0, 0.0).astype(
             x_buf.dtype)                              # [TE, TN]
         acc_ref[:] += jax.lax.dot_general(
