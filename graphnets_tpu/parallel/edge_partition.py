@@ -208,3 +208,165 @@ def gn_block_partitioned(block: GNBlock, params, pg: PartitionedGraph,
         nf=h_nf,
         gf=h_gf if dg_o > 0 else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# v2 halo exchange: all-to-all of only the boundary node features
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HaloPlan:
+    """Static exchange plan for boundary node features.
+
+    Built host-side from the edge partition.  Per shard ``s``:
+
+    * ``send_idx[s, t, H]``: local indices of the rows shard ``s`` must send
+      to peer ``t`` (the senders of t's edges that live on s), padded with 0
+      and masked by ``send_mask``.
+    * ``sender_pos[s, Epad]``: for every local edge, the position of its
+      sender's features in the concatenation ``[local nf (Npad) | halo
+      buffer (S*H)]`` — local senders map below ``Npad``, remote senders map
+      into the slot where the all-to-all deposits them.
+
+    Communication per layer: ``2 * H * S * D`` bytes per chip (an
+    ``all_to_all``), vs ``(S-1) * Npad * D`` for the v1 all-gather — a win
+    whenever the boundary set is smaller than the full node set (i.e. the
+    partition has locality).
+    """
+
+    send_idx: jax.Array   # [S, S, H] int32
+    send_mask: jax.Array  # [S, S, H] bool
+    sender_pos: jax.Array  # [S, Epad] int32
+
+    def tree_flatten(self):
+        return (self.send_idx, self.send_mask, self.sender_pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def halo_size(self) -> int:
+        return int(self.send_idx.shape[2])
+
+
+def build_halo_plan(pg: PartitionedGraph, halo_pad_multiple: int = 8
+                    ) -> HaloPlan:
+    """Host-side construction of the boundary-exchange plan."""
+    S = pg.num_shards
+    npad = pg.nodes_per_shard
+    sg = np.asarray(pg.senders_global)
+    em = np.asarray(pg.edge_mask)
+    Epad = sg.shape[1]
+
+    # needed[s][t] = sorted unique global sender ids shard s needs from t
+    needed = [[None] * S for _ in range(S)]
+    H = 1
+    for s in range(S):
+        owners = np.minimum(sg[s] // npad, S - 1)
+        for t in range(S):
+            ids = np.unique(sg[s][(owners == t) & em[s] & (t != s)])
+            needed[s][t] = ids
+            H = max(H, len(ids))
+    H = int(-(-H // halo_pad_multiple) * halo_pad_multiple)
+
+    send_idx = np.zeros((S, S, H), np.int32)
+    send_mask = np.zeros((S, S, H), bool)
+    for s in range(S):
+        for t in range(S):
+            ids = needed[t][s]  # what t needs FROM s -> s sends these
+            send_idx[s, t, : len(ids)] = ids - s * npad
+            send_mask[s, t, : len(ids)] = True
+
+    sender_pos = np.zeros((S, Epad), np.int32)
+    for s in range(S):
+        owners = np.minimum(sg[s] // npad, S - 1)
+        pos = np.zeros(Epad, np.int64)
+        local = owners == s
+        pos[local] = sg[s][local] - s * npad
+        for t in range(S):
+            if t == s:
+                continue
+            sel = (owners == t) & em[s]
+            if not sel.any():
+                continue
+            # after all_to_all, rows from peer t sit at [npad + t*H, ...)
+            slot = np.searchsorted(needed[s][t], sg[s][sel])
+            pos[sel] = npad + t * H + slot
+        sender_pos[s] = pos
+    return HaloPlan(send_idx=jnp.asarray(send_idx),
+                    send_mask=jnp.asarray(send_mask),
+                    sender_pos=jnp.asarray(sender_pos))
+
+
+def gn_block_partitioned_halo(block: GNBlock, params, pg: PartitionedGraph,
+                              plan: HaloPlan, mesh: Mesh,
+                              axis: str = "graph") -> PartitionedGraph:
+    """Edge-partitioned GNBlock with all-to-all boundary exchange (v2).
+
+    Identical semantics to :func:`gn_block_partitioned`; communication is
+    the boundary set only.  The all-to-all is issued before the local edge
+    feature assembly so XLA can overlap it with independent local work.
+    """
+    edgefn, nodefn, graphfn = block._nets()
+
+    def local(params, send_idx, send_mask, sender_pos, rl, em, nm, nf, ef,
+              gf):
+        send_idx, send_mask, sender_pos = (send_idx[0], send_mask[0],
+                                           sender_pos[0])
+        rl, em, nm, nf = rl[0], em[0], nm[0], nf[0]
+        ef = ef[0] if ef is not None else None
+        Epad, Npad = rl.shape[0], nf.shape[0]
+        ef = ef if ef is not None else jnp.zeros((Epad, 0), nf.dtype)
+        gf = gf if gf is not None else jnp.zeros((1, 0), nf.dtype)
+        S, H = send_idx.shape[0], send_idx.shape[1]
+
+        # -- boundary exchange: rows each peer needs from us ----------------
+        outgoing = jnp.take(nf, send_idx.reshape(-1), axis=0,
+                            mode="clip").reshape(S, H, -1)
+        halo = jax.lax.all_to_all(outgoing, axis, split_axis=0,
+                                  concat_axis=0, tiled=False)  # [S, H, D]
+        table = jnp.concatenate([nf, halo.reshape(S * H, -1)], axis=0)
+
+        # -- edge update ----------------------------------------------------
+        src = jnp.take(table, sender_pos, axis=0, mode="clip")
+        dst = jnp.take(nf, rl, axis=0, mode="clip")
+        g2e = jnp.broadcast_to(gf[0], (Epad, gf.shape[1]))
+        h_ef = edgefn.apply(params["edgefn"],
+                            jnp.concatenate([ef, src, dst, g2e], -1))
+
+        # -- node update: local segment_sum ---------------------------------
+        agg = scatter.segment_sum(h_ef, rl, Npad, em,
+                                  indices_are_sorted=False)
+        g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
+        h_nf = nodefn.apply(params["nodefn"],
+                            jnp.concatenate([agg, nf, g2n], -1))
+
+        # -- global update --------------------------------------------------
+        e_pool = jnp.sum(jnp.where(em[:, None], h_ef, 0.0), axis=0)
+        n_pool = jnp.sum(jnp.where(nm[:, None], h_nf, 0.0), axis=0)
+        pools = jax.lax.psum(jnp.concatenate([e_pool, n_pool]), axis)
+        h_gf = graphfn.apply(params["graphfn"],
+                             jnp.concatenate([pools, gf[0]])[None, :])
+        return h_ef[None], h_nf[None], h_gf
+
+    shard = P(axis)
+    repl = P()
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(repl, shard, shard, shard, shard, shard, shard, shard,
+                  shard if pg.ef is not None else repl, repl),
+        out_specs=(shard, shard, repl),
+        check_vma=False,
+    )
+    h_ef, h_nf, h_gf = fn(params, plan.send_idx, plan.send_mask,
+                          plan.sender_pos, pg.receivers_local, pg.edge_mask,
+                          pg.node_mask, pg.nf, pg.ef, pg.gf)
+    de_o, dn_o, dg_o = block.out_dims
+    return pg.replace(
+        ef=h_ef if de_o > 0 else None,
+        nf=h_nf,
+        gf=h_gf if dg_o > 0 else None,
+    )

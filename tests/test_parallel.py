@@ -143,3 +143,35 @@ def test_edge_partitioned_matches_single_device(cpu_devices):
         np.testing.assert_allclose(ef_out[s, :k], ef_ref[sel],
                                    rtol=1e-4, atol=1e-5)
         assert em[s, :k].all() and not em[s, k:].any()
+
+
+def test_halo_alltoall_matches_allgather(cpu_devices):
+    """v2 boundary all-to-all == v1 all-gather == unpartitioned block."""
+    from graphnets_tpu.parallel.edge_partition import (
+        build_halo_plan, gn_block_partitioned_halo)
+    mesh = _mesh(cpu_devices, 8, names=("graph",))
+    rng = np.random.default_rng(11)
+    N, deg, dn, de, dg = 64, 4, 6, 5, 3
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, dn)).astype(np.float32)
+    ef = rng.normal(size=(E, de)).astype(np.float32)
+    gf = rng.normal(size=(dg,)).astype(np.float32)
+
+    block = gn.GNBlock((de, dn, dg), (7, 8, 9))
+    params = block.init(jax.random.PRNGKey(12))
+
+    pg = partition_edges(senders, receivers, nf, num_shards=8, ef=ef, gf=gf,
+                         edge_pad_multiple=8)
+    plan = build_halo_plan(pg)
+    out_v1 = gn_block_partitioned(block, params, pg, mesh)
+    out_v2 = gn_block_partitioned_halo(block, params, pg, plan, mesh)
+    np.testing.assert_allclose(np.asarray(out_v2.nf), np.asarray(out_v1.nf),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_v2.gf), np.asarray(out_v1.gf),
+                               rtol=1e-5, atol=1e-5)
+    em = np.asarray(pg.edge_mask)
+    np.testing.assert_allclose(np.asarray(out_v2.ef)[em],
+                               np.asarray(out_v1.ef)[em],
+                               rtol=1e-5, atol=1e-5)
