@@ -4,17 +4,20 @@
 memory-bound roofline (measured 239us vs ~18us for E=16384, D=384 on v5e).
 The framework's canonical edge order (column-major adjacency, see
 ``graph.py``) makes ``receivers`` globally sorted, i.e. the edge array is
-CSR-by-destination.  This kernel exploits that: grid over node tiles, each
-tile's edge range is contiguous ``[indptr[n0], indptr[n0 + TN])``; edges are
-DMA'd in fixed-size chunks and reduced with a one-hot matmul on the MXU
-(``[TN, TE] @ [TE, D]``) — scatter becomes dense compute.
+CSR-by-destination.  This kernel exploits that: grid over segment tiles,
+each tile's edge range is contiguous ``[indptr[n0], indptr[n0 + TN])``;
+edge features are DMA'd in aligned fixed-size chunks and reduced with a
+one-hot matmul on the MXU (``[TN, TE] @ [TE, D]``) — scatter becomes dense
+compute.  The one-hot is built from per-tile CSR row-pointer row vectors
+(``lower/upper``), not from the raw segment-id array, so no lane-misaligned
+int DMA is needed and rows outside the tile's range match no column.
 
 Requirements (checked by ``supports_sorted_segment_sum``; callers fall back
 to ``jax.ops.segment_sum``): segment ids sorted ascending, ``E`` divisible
-by the edge chunk, ``D`` lane-aligned.  Padded edges must target padded
-segments (the batch layout guarantees this), so no masking is needed.
+by 128, ``D`` lane-aligned.  Padded edges must target padded segments (the
+batch layout guarantees this), so no masking is needed.
 
-Backward: d/d ef = gather(g, receivers) — cheap in XLA; custom_vjp below.
+Backward: d/d x = gather(g, seg) — cheap in XLA; custom_vjp below.
 """
 
 from __future__ import annotations
@@ -46,42 +49,38 @@ def supports_sorted_segment_sum(num_rows: int, num_segments: int,
                                 dim: int) -> bool:
     return (dim % 128 == 0
             and _pick(num_rows, (512, 256, 128)) is not None
-            and num_rows >= 128)
+            and num_rows >= 128
+            and num_segments >= 1)
 
 
-def _kernel(bounds_ref,     # scalar prefetch: [grid+1] edge offsets
-            x_hbm,          # [E, D] in HBM/ANY
-            seg_hbm,        # [E, 1] int32 in HBM/ANY
+def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
+            x_hbm,          # [E, D] in ANY (manual DMA)
+            lower_ref,      # [1, TN] VMEM: indptr[n0 : n0+TN]
+            upper_ref,      # [1, TN] VMEM: indptr[n0+1 : n0+TN+1]
             out_ref,        # [TN, D] VMEM block
-            x_buf, seg_buf, acc_ref, sems,
-            *, TE: int, TN: int, D: int, E: int):
+            x_buf, acc_ref, sems,
+            *, TE: int, TN: int, D: int):
     i = pl.program_id(0)
     start = bounds_ref[i]
     end = bounds_ref[i + 1]
-    n0 = i * TN
 
     acc_ref[:] = jnp.zeros((TN, D), jnp.float32)
-    # Mosaic requires DMA offsets provably aligned to the sublane tiling:
-    # iterate TE-aligned windows covering [start, end) and mask both ends.
-    # Windows stay in bounds because TE divides E and start < end <= E.
+    # Mosaic requires DMA offsets provably aligned: iterate TE-aligned
+    # windows covering [start, end).  Rows outside the tile's segment
+    # ranges match no one-hot column, so no extra masking is needed.
     start_al = (start // TE) * TE
     nchunks = pl.cdiv(end - start_al, TE)
+    low = lower_ref[:]            # [1, TN]
+    up = upper_ref[:]             # [1, TN]
 
     def body(k, _):
         off = pl.multiple_of(start_al + k * TE, TE)
-        cp_x = pltpu.make_async_copy(
+        cp = pltpu.make_async_copy(
             x_hbm.at[pl.ds(off, TE), :], x_buf, sems.at[0])
-        cp_s = pltpu.make_async_copy(
-            seg_hbm.at[pl.ds(off, TE), :], seg_buf, sems.at[1])
-        cp_x.start()
-        cp_s.start()
-        cp_x.wait()
-        cp_s.wait()
-        idx = jax.lax.broadcasted_iota(jnp.int32, (TE, TN), 1)
-        local = seg_buf[:] - n0                       # [TE, 1]
+        cp.start()
+        cp.wait()
         grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
-        valid = (grow >= start) & (grow < end)
-        onehot = jnp.where((local == idx) & valid, 1.0, 0.0).astype(
+        onehot = jnp.where((grow >= low) & (grow < up), 1.0, 0.0).astype(
             x_buf.dtype)                              # [TE, TN]
         acc_ref[:] += jax.lax.dot_general(
             onehot, x_buf[:],
@@ -96,46 +95,46 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] edge offsets
 def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
     E, D = x.shape
     TE = _pick(E, (512, 256, 128))
-    TN = _pick(num_segments, (256, 128, 64, 32, 16, 8)) or num_segments
-    pad_segments = num_segments
-    if num_segments % TN != 0 or num_segments < 8:
-        TN = 8
-        pad_segments = ((num_segments + 7) // 8) * 8
+    TN = _pick(num_segments, (256, 128)) or 128
+    pad_segments = ((num_segments + TN - 1) // TN) * TN
     grid = pad_segments // TN
 
-    # Edge offsets of each node-tile boundary (CSR row pointers at tile
-    # granularity).  searchsorted on the sorted segment ids.
-    boundaries = jnp.searchsorted(
-        seg, jnp.arange(0, pad_segments + TN, TN, dtype=seg.dtype),
-        side="left").astype(jnp.int32)
+    indptr = jnp.searchsorted(
+        seg, jnp.arange(0, pad_segments + 1, dtype=seg.dtype),
+        side="left").astype(jnp.int32)                 # [pad_segments + 1]
+    lower = indptr[:-1].reshape(grid, TN)
+    upper = indptr[1:].reshape(grid, TN)
+    bounds = indptr[::TN]                              # [grid + 1]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, TE=TE, TN=TN, D=D, E=E),
+        functools.partial(_kernel, TE=TE, TN=TN, D=D),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, TN), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TN), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((TN, D), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((TE, D), x.dtype),
-                pltpu.VMEM((TE, 1), jnp.int32),
                 pltpu.VMEM((TN, D), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((pad_segments, D), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * E * TN * D,
             bytes_accessed=E * D * x.dtype.itemsize
-            + pad_segments * D * x.dtype.itemsize + E * 4,
+            + pad_segments * D * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(boundaries, x, seg.astype(jnp.int32).reshape(-1, 1))
+    )(bounds, x, lower, upper)
     return out[:num_segments]
 
 

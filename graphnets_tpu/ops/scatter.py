@@ -62,12 +62,25 @@ def segment_sum(x: Array, segment_ids: Array, num_segments: int,
     (``ops.pallas.segment_sum``), ~10x faster than XLA scatter-add on TPU.
     """
     from ..utils.config import use_pallas
-    if sorted_pad_safe and use_pallas():
+    if sorted_pad_safe and use_pallas() and num_segments > 64:
         from .pallas.segment_sum import (sorted_segment_sum,
                                          supports_sorted_segment_sum)
         if supports_sorted_segment_sum(x.shape[0], num_segments,
                                        x.shape[-1]):
             return sorted_segment_sum(x, segment_ids, num_segments)
+    if num_segments <= 64 and x.shape[0] >= 4 * num_segments:
+        # Few segments (graph-level pools): a one-hot matmul beats
+        # scatter-add by >10x on TPU and needs no sortedness.
+        oh = (segment_ids[:, None]
+              == jnp.arange(num_segments, dtype=segment_ids.dtype)[None, :])
+        if mask is not None:
+            oh = oh & mask[:, None]
+        out = jax.lax.dot_general(
+            oh.astype(jnp.float32), x.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
     x = _mask_rows(x, mask)
     acc = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
     out = jax.ops.segment_sum(acc, segment_ids, num_segments=num_segments,

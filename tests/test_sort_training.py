@@ -47,3 +47,14 @@ def test_sort_learns():
     assert res.metrics["loss"] < 1.0, res.metrics
     assert res.metrics["node_acc"] > 0.75, res.metrics
     assert res.metrics["edge_acc"] > 0.75, res.metrics
+
+
+def test_sort_evaluate():
+    from graphnets_tpu.training.evaluate import sort_accuracy
+    cfg = SortTaskConfig(vocab_size=12, min_nodes=2, max_nodes=4,
+                         batch_size=4)
+    res = train_sort(steps=120, cfg=cfg, core_dims=(32, 32, 32), n_cores=1,
+                     learning_rate=3e-3, seed=1)
+    acc = sort_accuracy(res.model, res.state.params, cfg, num_batches=5)
+    assert 0.0 <= acc["graph_acc"] <= 1.0
+    assert acc["node_acc"] > 0.6
