@@ -70,8 +70,8 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
     # ranges match no one-hot column, so no extra masking is needed.
     start_al = (start // TE) * TE
     nchunks = pl.cdiv(end - start_al, TE)
-    low = lower_ref[:]            # [1, TN]
-    up = upper_ref[:]             # [1, TN]
+    low = lower_ref[0:1, :]       # [1, TN] (rows are 8x-broadcast copies)
+    up = upper_ref[0:1, :]        # [1, TN]
 
     def body(k, _):
         off = pl.multiple_of(start_al + k * TE, TE)
@@ -102,8 +102,12 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
     indptr = jnp.searchsorted(
         seg, jnp.arange(0, pad_segments + 1, dtype=seg.dtype),
         side="left").astype(jnp.int32)                 # [pad_segments + 1]
-    lower = indptr[:-1].reshape(grid, TN)
-    upper = indptr[1:].reshape(grid, TN)
+    # Pallas TPU block sublane dims must be >= 8: broadcast each tile's
+    # row-pointer row to 8 identical sublanes.
+    lower = jnp.broadcast_to(indptr[:-1].reshape(grid, 1, TN),
+                             (grid, 8, TN)).reshape(grid * 8, TN)
+    upper = jnp.broadcast_to(indptr[1:].reshape(grid, 1, TN),
+                             (grid, 8, TN)).reshape(grid * 8, TN)
     bounds = indptr[::TN]                              # [grid + 1]
 
     out = pl.pallas_call(
@@ -113,9 +117,9 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((1, TN), lambda i, *_: (i, 0),
+                pl.BlockSpec((8, TN), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TN), lambda i, *_: (i, 0),
+                pl.BlockSpec((8, TN), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((TN, D), lambda i, *_: (i, 0),
