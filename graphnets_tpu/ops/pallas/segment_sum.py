@@ -55,8 +55,8 @@ def supports_sorted_segment_sum(num_rows: int, num_segments: int,
 
 def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
             x_hbm,          # [E, D] in ANY (manual DMA)
-            lower_ref,      # [1, TN] VMEM: indptr[n0 : n0+TN]
-            upper_ref,      # [1, TN] VMEM: indptr[n0+1 : n0+TN+1]
+            lower_ref,      # [8, TN] VMEM: indptr[n0 : n0+TN] (bcast rows)
+            upper_ref,      # [8, TN] VMEM: indptr[n0+1 : n0+TN+1]
             out_ref,        # [TN, D] VMEM block
             x_buf, acc_ref, sems,
             *, TE: int, TN: int, D: int):
@@ -73,17 +73,30 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
     low = lower_ref[0:1, :]       # [1, TN] (rows are 8x-broadcast copies)
     up = upper_ref[0:1, :]        # [1, TN]
 
-    def body(k, _):
+    def dma(k, slot):
         off = pl.multiple_of(start_al + k * TE, TE)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(off, TE), :], x_buf, sems.at[0])
-        cp.start()
-        cp.wait()
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(off, TE), :], x_buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        next_slot = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma(k + 1, next_slot).start()
+
+        dma(k, slot).wait()
+        off = pl.multiple_of(start_al + k * TE, TE)
         grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
         onehot = jnp.where((grow >= low) & (grow < up), 1.0, 0.0).astype(
             x_buf.dtype)                              # [TE, TN]
         acc_ref[:] += jax.lax.dot_general(
-            onehot, x_buf[:],
+            onehot, x_buf[slot],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return 0
@@ -94,7 +107,7 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
 
 def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
     E, D = x.shape
-    TE = _pick(E, (512, 256, 128))
+    TE = _pick(E, (2048, 1024, 512, 256, 128))
     TN = _pick(num_segments, (256, 128)) or 128
     pad_segments = ((num_segments + TN - 1) // TN) * TN
     grid = pad_segments // TN
@@ -125,9 +138,9 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
             out_specs=pl.BlockSpec((TN, D), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((TE, D), x.dtype),
+                pltpu.VMEM((2, TE, D), x.dtype),   # double-buffered chunks
                 pltpu.VMEM((TN, D), jnp.float32),
-                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((pad_segments, D), x.dtype),
