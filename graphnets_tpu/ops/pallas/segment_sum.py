@@ -59,7 +59,7 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
             upper_ref,      # [8, TN] VMEM: indptr[n0+1 : n0+TN+1]
             out_ref,        # [TN, D] VMEM block
             x_buf, acc_ref, sems,
-            *, TE: int, TN: int, D: int):
+            *, TE: int, TN: int, D: int, E: int):
     i = pl.program_id(0)
     start = bounds_ref[i]
     end = bounds_ref[i + 1]
@@ -68,13 +68,19 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
     # Mosaic requires DMA offsets provably aligned: iterate TE-aligned
     # windows covering [start, end).  Rows outside the tile's segment
     # ranges match no one-hot column, so no extra masking is needed.
+    # The chunk loop is statically unrolled with @pl.when guards (dynamic
+    # trip counts defeat Mosaic's pipelining); KMAX bounds the worst-case
+    # skew (all edges in one tile).
     start_al = (start // TE) * TE
     nchunks = pl.cdiv(end - start_al, TE)
     low = lower_ref[0:1, :]       # [1, TN] (rows are 8x-broadcast copies)
     up = upper_ref[0:1, :]        # [1, TN]
+    KMAX = E // TE
 
     def dma(k, slot):
         off = pl.multiple_of(start_al + k * TE, TE)
+        # clamp: worst-case k reaches KMAX-1 windows past start_al
+        off = jnp.minimum(off, E - TE)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(off, TE), :], x_buf.at[slot], sems.at[slot])
 
@@ -82,33 +88,35 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
     def _():
         dma(0, 0).start()
 
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-        next_slot = jax.lax.rem(k + 1, 2)
+    for k in range(KMAX):
+        slot = k % 2
 
         @pl.when(k + 1 < nchunks)
-        def _():
-            dma(k + 1, next_slot).start()
+        def _(k=k, ns=(k + 1) % 2):
+            dma(k + 1, ns).start()
 
-        dma(k, slot).wait()
-        off = pl.multiple_of(start_al + k * TE, TE)
-        grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
-        onehot = jnp.where((grow >= low) & (grow < up), 1.0, 0.0).astype(
-            x_buf.dtype)                              # [TE, TN]
-        acc_ref[:] += jax.lax.dot_general(
-            onehot, x_buf[slot],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return 0
+        @pl.when(k < nchunks)
+        def _(k=k, slot=slot):
+            dma(k, slot).wait()
+            off = jnp.minimum(
+                pl.multiple_of(start_al + k * TE, TE), E - TE)
+            grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
+            onehot = jnp.where((grow >= low) & (grow < up),
+                               1.0, 0.0).astype(x_buf.dtype)   # [TE, TN]
+            acc_ref[:] += jax.lax.dot_general(
+                onehot, x_buf[slot],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
+def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
+             te: Optional[int] = None, tn: Optional[int] = None
+             ) -> jax.Array:
     E, D = x.shape
-    TE = _pick(E, (2048, 1024, 512, 256, 128))
-    TN = _pick(num_segments, (256, 128)) or 128
+    TE = te or _pick(E, (2048, 1024, 512, 256, 128))
+    TN = tn or _pick(num_segments, (256, 128)) or 128
     pad_segments = ((num_segments + TN - 1) // TN) * TN
     grid = pad_segments // TN
 
@@ -124,7 +132,7 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
     bounds = indptr[::TN]                              # [grid + 1]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, TE=TE, TN=TN, D=D),
+        functools.partial(_kernel, TE=TE, TN=TN, D=D, E=E),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),

@@ -80,3 +80,34 @@ def test_examples_run():
                            os.path.abspath(__file__))), env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "example 3 ok" in r.stdout
+
+
+def test_prefetch_iterator():
+    from graphnets_tpu.data.prefetch import prefetch
+    items = list(prefetch(iter(range(10)), device_put=False))
+    assert items == list(range(10))
+
+    def failing():
+        yield 1
+        raise ValueError("boom")
+    it = prefetch(failing(), device_put=False)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
+
+
+def test_precision_policy():
+    from graphnets_tpu.nn.precision import BF16_COMPUTE, cast_params
+    adj = np.ones((2, 2), int)
+    g = gn.batch({"graphs": [adj], "ef": None,
+                  "nf": [np.ones((2, 4), np.float32)], "gf": None})
+    gc = BF16_COMPUTE.cast_graph(g)
+    assert gc.nf.dtype == jnp.bfloat16
+    assert gc.senders.dtype == jnp.int32
+
+    block = gn.GNBlock((0, 4, 0), (3, 3, 3))
+    params = block.init(jax.random.PRNGKey(0))
+    y = block.apply(params, gc)  # f32 params, bf16 compute
+    assert y.nf.dtype == jnp.bfloat16
+    p16 = cast_params(params, jnp.bfloat16)
+    assert jax.tree_util.tree_leaves(p16)[0].dtype == jnp.bfloat16
