@@ -78,9 +78,11 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
     KMAX = E // TE
 
     def dma(k, slot):
-        off = pl.multiple_of(start_al + k * TE, TE)
-        # clamp: worst-case k reaches KMAX-1 windows past start_al
-        off = jnp.minimum(off, E - TE)
+        # clamp (guards dead speculative prefetch), THEN assert alignment —
+        # min of two TE-multiples is a TE-multiple, but Mosaic's prover
+        # needs the multiple_of hint outermost.
+        off = pl.multiple_of(
+            jnp.minimum(start_al + k * TE, E - TE), TE)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(off, TE), :], x_buf.at[slot], sems.at[slot])
 
@@ -98,8 +100,8 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
         @pl.when(k < nchunks)
         def _(k=k, slot=slot):
             dma(k, slot).wait()
-            off = jnp.minimum(
-                pl.multiple_of(start_al + k * TE, TE), E - TE)
+            off = pl.multiple_of(
+                jnp.minimum(start_al + k * TE, E - TE), TE)
             grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
             onehot = jnp.where((grow >= low) & (grow < up),
                                1.0, 0.0).astype(x_buf.dtype)   # [TE, TN]

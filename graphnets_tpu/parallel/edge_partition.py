@@ -370,3 +370,63 @@ def gn_block_partitioned_halo(block: GNBlock, params, pg: PartitionedGraph,
         nf=h_nf,
         gf=h_gf if dg_o > 0 else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Locality-aware node ordering (halo minimization)
+# ---------------------------------------------------------------------------
+
+
+def bfs_node_order(senders: np.ndarray, receivers: np.ndarray,
+                   num_nodes: int, start: int = 0) -> np.ndarray:
+    """BFS (Cuthill-McKee-style) node ordering over the undirected skeleton.
+
+    Contiguous-block partitioning of a BFS ordering keeps neighborhoods on
+    the same shard, shrinking the boundary set the halo exchange must move
+    (the graph analogue of sequence-parallel locality).  Returns ``order``
+    with ``order[new_id] = old_id``.
+    """
+    from ..runtime import native
+    und_s = np.concatenate([senders, receivers]).astype(np.int64)
+    und_r = np.concatenate([receivers, senders]).astype(np.int64)
+    indptr, adj = native.csc_from_coo(und_s, und_r, num_nodes)
+    visited = np.zeros(num_nodes, bool)
+    order = np.empty(num_nodes, np.int64)
+    k = 0
+    for seed in range(num_nodes):
+        seed = (seed + start) % num_nodes
+        if visited[seed]:
+            continue
+        queue = [seed]
+        visited[seed] = True
+        while queue:
+            nxt = []
+            for v in queue:
+                order[k] = v
+                k += 1
+                nbrs = adj[indptr[v]: indptr[v + 1]]
+                for u in np.unique(nbrs):
+                    if not visited[u]:
+                        visited[u] = True
+                        nxt.append(int(u))
+            queue = sorted(nxt)
+    assert k == num_nodes
+    return order
+
+
+def partition_edges_locality(senders: np.ndarray, receivers: np.ndarray,
+                             nf: np.ndarray, num_shards: int,
+                             ef: Optional[np.ndarray] = None,
+                             gf: Optional[np.ndarray] = None,
+                             edge_pad_multiple: int = 128
+                             ) -> Tuple[PartitionedGraph, np.ndarray]:
+    """BFS-reordered edge partition.  Returns ``(pg, order)`` where
+    ``order[new_id] = old_id``; per-shard node block ``s`` holds old nodes
+    ``order[s*npad : (s+1)*npad]``, so outputs map back via ``order``."""
+    order = bfs_node_order(senders, receivers, nf.shape[0])
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    pg = partition_edges(inv[senders], inv[receivers], nf[order],
+                         num_shards, ef=ef, gf=gf,
+                         edge_pad_multiple=edge_pad_multiple)
+    return pg, order

@@ -285,3 +285,58 @@ def test_pipeline_gradients(cpu_devices):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_bfs_partition_reduces_halo_and_matches(cpu_devices):
+    """On a ring lattice, BFS-ordered partitioning shrinks the boundary set
+    vs a random node labeling, and the computation still matches."""
+    from graphnets_tpu.parallel.edge_partition import (
+        build_halo_plan, gn_block_partitioned_halo, partition_edges_locality)
+    mesh = _mesh(cpu_devices, 4, names=("graph",))
+    rng = np.random.default_rng(41)
+    N = 64
+    # ring lattice with neighbor edges, then scramble the labels
+    base_s, base_r = [], []
+    for v in range(N):
+        for d in (1, 2):
+            base_s += [v, (v + d) % N]
+            base_r += [(v + d) % N, v]
+    relabel = rng.permutation(N)
+    senders = relabel[np.array(base_s)].astype(np.int32)
+    receivers = relabel[np.array(base_r)].astype(np.int32)
+    E = len(senders)
+    nf = rng.normal(size=(N, 5)).astype(np.float32)
+    ef = rng.normal(size=(E, 4)).astype(np.float32)
+    gf = rng.normal(size=(3,)).astype(np.float32)
+
+    pg_rand = partition_edges(senders, receivers, nf, 4, ef=ef, gf=gf,
+                              edge_pad_multiple=8)
+    plan_rand = build_halo_plan(pg_rand)
+    pg_bfs, order = partition_edges_locality(senders, receivers, nf, 4,
+                                             ef=ef, gf=gf,
+                                             edge_pad_multiple=8)
+    plan_bfs = build_halo_plan(pg_bfs)
+    assert plan_bfs.halo_size < plan_rand.halo_size, (
+        plan_bfs.halo_size, plan_rand.halo_size)
+
+    block = gn.GNBlock((4, 5, 3), (6, 7, 8))
+    params = block.init(jax.random.PRNGKey(42))
+    out = gn_block_partitioned_halo(block, params, pg_bfs, plan_bfs, mesh)
+
+    # unpartitioned reference on the ORIGINAL labeling
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=jnp.asarray(ef), nf=jnp.asarray(nf), gf=jnp.asarray(gf)[None])
+    y_ref = block.apply(params, g)
+
+    npad = pg_bfs.nodes_per_shard
+    nf_out = np.asarray(out.nf).reshape(4 * npad, -1)
+    nm = np.asarray(pg_bfs.node_mask).reshape(-1)
+    # shard-block rows correspond to old node ids order[...]
+    np.testing.assert_allclose(nf_out[nm], np.asarray(y_ref.nf)[order],
+                               rtol=1e-4, atol=1e-5)
