@@ -27,6 +27,13 @@ import jax.numpy as jnp
 
 from graphnets_tpu.graph import GraphsTuple
 from graphnets_tpu.models.gn_core import GNCore, GNCoreList
+from graphnets_tpu.utils.config import enable_pallas
+from graphnets_tpu.utils.warmup import enable_compilation_cache
+
+enable_compilation_cache()
+# Measured on v5e: the Pallas sorted-segment-sum + small-segment one-hot
+# paths cut per-core aggregation cost ~2x (benchmarks/RESULTS.md).
+enable_pallas(True)
 
 # Workload config
 B, N_PER_G, DEG, D = 8, 128, 16, 384

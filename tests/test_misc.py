@@ -111,3 +111,21 @@ def test_precision_policy():
     assert y.nf.dtype == jnp.bfloat16
     p16 = cast_params(params, jnp.bfloat16)
     assert jax.tree_util.tree_leaves(p16)[0].dtype == jnp.bfloat16
+
+
+def test_parity_harness_roundtrip(tmp_path):
+    import subprocess, sys, os
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    case = str(tmp_path / "case.npz")
+    r = subprocess.run([sys.executable, "tools/parity_harness.py", "emit",
+                       "--out", case], capture_output=True, text=True,
+                       timeout=600, cwd=root, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run([sys.executable, "tools/parity_harness.py", "check",
+                       "--case", case], capture_output=True, text=True,
+                       timeout=600, cwd=root, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "parity ok" in r.stdout
