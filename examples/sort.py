@@ -26,9 +26,10 @@ from graphnets_tpu.training.train import train_sort
 from graphnets_tpu.utils.metrics import MetricLogger
 
 
-def show_sample(model, state, cfg):
-    """Print one sample's prediction vs target (the reference renders SVG;
-    we print the predicted ordering)."""
+def show_sample(model, state, cfg, svg_dir=None):
+    """Print one sample's prediction vs target, and optionally render the
+    input/target/prediction graphs as SVG like the reference
+    (``/root/reference/examples/sort/viz.jl``)."""
     rng = np.random.default_rng(123)
     pad = sort_pad_spec(SortTaskConfig(cfg.vocab_size, cfg.min_nodes,
                                        cfg.max_nodes, 1))
@@ -48,6 +49,22 @@ def show_sample(model, state, cfg):
     ef_true = np.asarray(y.ef)[:e].argmax(-1).reshape(n, n, order="F")
     print(f"edge-matrix match: {(ef_pred == ef_true).mean():.2%}")
 
+    if svg_dir:
+        import os
+        from graphnets_tpu.utils.viz import sort_input_svg, sort_target_svg
+        os.makedirs(svg_dir, exist_ok=True)
+        renders = {
+            "input.svg": sort_input_svg(values_onehot),
+            "target.svg": sort_target_svg(is_min_true,
+                                          ef_true.flatten(order="F")),
+            "pred.svg": sort_target_svg(is_min_pred,
+                                        ef_pred.flatten(order="F")),
+        }
+        for name, svg in renders.items():
+            with open(os.path.join(svg_dir, name), "w") as f:
+                f.write(svg)
+        print(f"SVGs written to {svg_dir}")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -59,6 +76,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--svg-dir", type=str, default=None,
+                    help="write input/target/pred SVG renderings here")
     args = ap.parse_args()
 
     cfg = SortTaskConfig(batch_size=args.batch_size)
@@ -68,7 +87,7 @@ def main():
                      log_every=args.log_every)
     print(f"final metrics: {res.metrics}")
     print(f"throughput: {res.steps_per_sec:.2f} steps/s")
-    show_sample(res.model, res.state, cfg)
+    show_sample(res.model, res.state, cfg, svg_dir=args.svg_dir)
 
     if args.ckpt:
         from graphnets_tpu.training.checkpoint import CheckpointManager

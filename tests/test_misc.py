@@ -129,3 +129,33 @@ def test_parity_harness_roundtrip(tmp_path):
                        timeout=600, cwd=root, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "parity ok" in r.stdout
+
+
+def test_viz_svg_rendering(tmp_path):
+    """SVG rendering of sort-task graphs (reference examples/sort/viz.jl)."""
+    import numpy as np
+    from graphnets_tpu.utils.viz import (render_graph_svg, sort_input_svg,
+                                         sort_target_svg)
+    import xml.etree.ElementTree as ET
+
+    nf = np.eye(10, dtype=np.float32)[[3, 0, 7, 5]]   # 4 nodes, vocab 10
+    svg_in = sort_input_svg(nf)
+    root = ET.fromstring(svg_in)
+    assert root.tag.endswith("svg")
+    assert svg_in.count("<circle") == 4
+    assert svg_in.count("<line") == 12        # fully connected, no self loops
+    assert ">4<" in svg_in                    # onecold is 1-based: argmax+1
+
+    n = 3
+    nodes01 = np.array([0, 1, 0])
+    edges01 = np.zeros(n * n, int)
+    edges01[0 * n + 1] = 1                    # slot col-major: edge (1 -> 0)
+    edges01[2 * n + 2] = 1                    # self loop (2 -> 2)
+    svg_t = sort_target_svg(nodes01, edges01)
+    ET.fromstring(svg_t)
+    assert svg_t.count('fill="green"') >= 1
+    assert svg_t.count("<line") == 1 and "stroke=\"green\"" in svg_t
+
+    svg = render_graph_svg(2, [(0, 1)], node_value=lambda i: str(i))
+    (tmp_path / "g.svg").write_text(svg)
+    ET.fromstring(svg)
