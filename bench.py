@@ -76,13 +76,15 @@ def cast_params(p):
     return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
 
 
-def time_iterated(step_fn, carry, l1=2, l2=12, trials=3):
+def time_iterated(step_fn, carry, l1=10, l2=100, trials=4):
     """Per-iteration device time of ``carry -> carry`` via in-jit lax.scan.
 
     The axon tunnel acks before device completion (block_until_ready does
     not actually block), and a host readback costs ~20+ ms fixed overhead —
     so we iterate inside jit at two lengths, force a scalar readback, and
-    difference out the fixed cost.
+    difference out the fixed cost.  Long scans (10 vs 100) keep dispatch
+    pipelining effects out of the per-iteration estimate (short scans
+    overestimate by ~2x through the tunnel).
     """
     def make(length):
         @jax.jit

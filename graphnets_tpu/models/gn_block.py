@@ -108,6 +108,45 @@ def get_graph_fn_input(g: GraphsTuple, ef=..., nf=..., gf=...) -> Array:
     return _concat(parts)
 
 
+def _linear_split(params, out_dtype, terms, rows):
+    """``concat(xs, -1) @ W + b`` computed as a sum of per-segment matmuls.
+
+    ``terms`` is a sequence of ``(x, idx)``: each ``x`` consumes the next
+    ``x.shape[-1]`` rows of ``W``; when ``idx`` is not None the partial
+    product's rows are gathered by ``idx`` after the matmul
+    (gather-after-transform).  Each per-row dot product is identical to the
+    fused concat formulation; partial terms accumulate in f32, so this is at
+    least as accurate.  Replaces the reference's input-assembly + Dense pair
+    (``/root/reference/src/edgefninput.jl`` + ``src/gnblock.jl:56``) without
+    ever materializing the ``[E, DE + 2 DN + DG]`` concat.
+    """
+    w, b = params["w"], params.get("b")
+    acc = None
+    off = 0
+    for x, idx in terms:
+        d = x.shape[-1]
+        if d == 0:
+            continue
+        ws = jax.lax.slice_in_dim(w, off, off + d, axis=0)
+        off += d
+        y = jax.lax.dot_general(
+            x, ws.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if idx is not None:
+            # Gather in the input dtype (halves HBM traffic for bf16); the
+            # MXU already accumulated this partial in f32.
+            y = jnp.take(y.astype(x.dtype), idx, axis=0, mode="clip")
+        acc = y.astype(jnp.float32) if acc is None \
+            else acc + y.astype(jnp.float32)
+    if acc is None:
+        # All-zero-width input: Linear(0, dout) is a bias broadcast.
+        acc = jnp.zeros((rows, w.shape[1]), jnp.float32)
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(out_dtype)
+
+
 def zerodim2nothing(g: GraphsTuple) -> GraphsTuple:
     """Zero-width feature arrays become ``None``
     (``/root/reference/src/gnblock.jl:71-78``)."""
@@ -163,10 +202,30 @@ class GNBlock(Module):
                 f"feature dims {(ef.shape[-1], nf.shape[-1], gf.shape[-1])} "
                 f"!= declared in_dims {self.in_dims}")
 
-        h_ef = edgefn.apply(params["edgefn"],
-                            get_edge_fn_input(g, ef=ef, nf=nf, gf=gf))
-        h_nf = nodefn.apply(params["nodefn"],
-                            get_node_fn_input(g, ef=h_ef, nf=nf, gf=gf))
-        h_gf = graphfn.apply(params["graphfn"],
-                             get_graph_fn_input(g, ef=h_ef, nf=h_nf, gf=gf))
+        from ..utils.config import use_split_linear
+        if use_split_linear():
+            # Gather-after-transform: node/global features are transformed
+            # once at N/G rows, the results gathered to E edge slots — the
+            # same per-row dots as the concat formulation (see
+            # ``_linear_split``), at ~1/(1 + 2N/E) of the edge-update FLOPs.
+            h_ef = _linear_split(
+                params["edgefn"], dtype,
+                [(ef, None), (nf, g.senders), (nf, g.receivers),
+                 (gf, g.edge_graph)], rows=E)
+            agg = scatter.aggregate_edges_for_nodes(
+                h_ef, g.receivers, N, g.edge_mask)
+            h_nf = _linear_split(
+                params["nodefn"], dtype,
+                [(agg, None), (nf, None), (gf, g.node_graph)], rows=N)
+            h_gf = graphfn.apply(params["graphfn"],
+                                 get_graph_fn_input(g, ef=h_ef, nf=h_nf,
+                                                    gf=gf))
+        else:
+            h_ef = edgefn.apply(params["edgefn"],
+                                get_edge_fn_input(g, ef=ef, nf=nf, gf=gf))
+            h_nf = nodefn.apply(params["nodefn"],
+                                get_node_fn_input(g, ef=h_ef, nf=nf, gf=gf))
+            h_gf = graphfn.apply(params["graphfn"],
+                                 get_graph_fn_input(g, ef=h_ef, nf=h_nf,
+                                                    gf=gf))
         return zerodim2nothing(g.with_features(ef=h_ef, nf=h_nf, gf=h_gf))

@@ -15,12 +15,20 @@ class Config:
     use_pallas: bool = False
     # Run Pallas kernels in interpreter mode (CPU debugging/testing).
     pallas_interpret: bool = False
+    # Compute GNBlock update nets as per-segment split matmuls with
+    # gather-after-transform (transform node/global features at N/G rows,
+    # then gather to E edge slots) instead of materializing the concatenated
+    # input.  Mathematically identical (same per-row dot products; partial
+    # sums accumulate in f32); at avg degree 16 it cuts edge-update FLOPs
+    # ~3.5x and removes the [E, DE+2DN+DG] concat from HBM.
+    split_linear: bool = True
 
 
 _config = Config(
     use_pallas=os.environ.get("GRAPHNETS_TPU_PALLAS", "auto") == "1",
     pallas_interpret=os.environ.get("GRAPHNETS_TPU_PALLAS_INTERPRET",
                                     "0") == "1",
+    split_linear=os.environ.get("GRAPHNETS_TPU_SPLIT_LINEAR", "1") == "1",
 )
 
 # Default: off.  Measured on v5e, the 3-core stack at D=384 is FLOP-bound and
@@ -36,6 +44,10 @@ def get_config() -> Config:
 
 def use_pallas() -> bool:
     return _config.use_pallas
+
+
+def use_split_linear() -> bool:
+    return _config.split_linear
 
 
 def enable_pallas(flag: bool = True, interpret: Optional[bool] = None):

@@ -165,3 +165,45 @@ def test_gradients_flow():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+@pytest.mark.parametrize("de,dn,dg,out", [
+    (10, 5, 7, (3, 4, 5)), (0, 5, 0, (3, 4, 5)), (10, 0, 0, (0, 4, 0)),
+])
+def test_split_linear_matches_concat(de, dn, dg, out):
+    """The gather-after-transform fast path computes the same values and
+    gradients as the concat formulation (it is the same per-row dots)."""
+    from graphnets_tpu.utils.config import get_config
+    rng = np.random.default_rng(3)
+    x, _ = make_batch(rng, [ADJ1, ADJ2], de, dn, dg,
+                      pad=gn.PadSpec(16, 32, 4))
+    block = gn.GNBlock((de, dn, dg), out)
+    params = block.init(jax.random.PRNGKey(5))
+
+    def loss(p, x):
+        y = block.apply(p, x)
+        return sum(jax.numpy.sum(f ** 2)
+                   for f in (y.ef, y.nf, y.gf) if f is not None)
+
+    cfg = get_config()
+    old = cfg.split_linear
+    try:
+        cfg.split_linear = True
+        y_split = block.apply(params, x)
+        g_split = jax.grad(loss)(params, x)
+        cfg.split_linear = False
+        y_cat = block.apply(params, x)
+        g_cat = jax.grad(loss)(params, x)
+    finally:
+        cfg.split_linear = old
+
+    for a, b in ((y_split.ef, y_cat.ef), (y_split.nf, y_cat.nf),
+                 (y_split.gf, y_cat.gf)):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_split),
+                    jax.tree_util.tree_leaves(g_cat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
