@@ -340,3 +340,39 @@ def test_bfs_partition_reduces_halo_and_matches(cpu_devices):
     # shard-block rows correspond to old node ids order[...]
     np.testing.assert_allclose(nf_out[nm], np.asarray(y_ref.nf)[order],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_halo_overlap_v3_matches_v1(cpu_devices):
+    """v3 transform-before-exchange (halo of nf @ W_src rows) == v1
+    all-gather == unpartitioned block, including narrow-feature decoders
+    where the exchanged rows are narrower than the raw node features."""
+    from graphnets_tpu.parallel.edge_partition import (
+        build_halo_plan, gn_block_partitioned, gn_block_partitioned_overlap)
+    mesh = _mesh(cpu_devices, 8, names=("graph",))
+    rng = np.random.default_rng(21)
+    N, deg, dn, de, dg = 64, 4, 16, 5, 3
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, dn)).astype(np.float32)
+    ef = rng.normal(size=(E, de)).astype(np.float32)
+    gf = rng.normal(size=(dg,)).astype(np.float32)
+
+    for out_dims in ((7, 8, 9), (2, 8, 9)):   # wide + narrowing (DE' < DN)
+        block = gn.GNBlock((de, dn, dg), out_dims)
+        params = block.init(jax.random.PRNGKey(12))
+        pg = partition_edges(senders, receivers, nf, num_shards=8, ef=ef,
+                             gf=gf, edge_pad_multiple=8)
+        plan = build_halo_plan(pg)
+        out_v1 = gn_block_partitioned(block, params, pg, mesh)
+        out_v3 = gn_block_partitioned_overlap(block, params, pg, plan, mesh)
+        np.testing.assert_allclose(np.asarray(out_v3.nf),
+                                   np.asarray(out_v1.nf),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_v3.gf),
+                                   np.asarray(out_v1.gf),
+                                   rtol=1e-5, atol=1e-5)
+        em = np.asarray(pg.edge_mask)
+        np.testing.assert_allclose(np.asarray(out_v3.ef)[em],
+                                   np.asarray(out_v1.ef)[em],
+                                   rtol=1e-5, atol=1e-5)
