@@ -5,7 +5,8 @@ Times each sub-computation of the core with the honest harness (in-jit scan
 + readback, fixed tunnel overhead measured once with an empty program).
 """
 
-import time
+import sys, time
+sys.path.insert(0, ".")
 
 import numpy as np
 
@@ -63,29 +64,54 @@ PIECES = {
 }
 
 
-def timed(step, probe_overhead=False):
-    @jax.jit
-    def f(c):
-        if probe_overhead:
-            return jnp.sum(c.astype(jnp.float32))
-        def body(c, _):
-            return step(c).astype(c.dtype), None
-        c2, _ = jax.lax.scan(body, c, None, length=L)
-        return jnp.sum(c2.astype(jnp.float32))
-    float(f(ef))
-    best = 1e9
-    for _ in range(4):
-        t0 = time.perf_counter()
+def _edge_update_split(c):
+    t_s = nf @ W_e[D:2 * D]
+    t_r = nf @ W_e[2 * D:3 * D]
+    t_g = gf @ W_e[3 * D:]
+    return (c @ W_e[:D] + jnp.take(t_s, senders, axis=0)
+            + jnp.take(t_r, receivers, axis=0)
+            + jnp.take(t_g, edge_graph, axis=0))
+
+
+def _segsum_pallas(c):
+    from graphnets_tpu.ops.pallas.segment_sum import sorted_segment_sum
+    return jnp.take(sorted_segment_sum(c, receivers, N).astype(c.dtype),
+                    receivers, axis=0)
+
+
+PIECES["edge_update_split"] = _edge_update_split
+PIECES["segsum_pallas"] = _segsum_pallas
+
+
+def timed(step):
+    """Per-iteration time via two-length in-jit scans, differenced — immune
+    to drift in the fixed tunnel overhead (which a separately measured
+    baseline is not)."""
+    def make(length):
+        @jax.jit
+        def f(c):
+            def body(c, _):
+                return step(c).astype(c.dtype), None
+            c2, _ = jax.lax.scan(body, c, None, length=length)
+            return jnp.sum(c2.astype(jnp.float32))
+        return f
+
+    times = {}
+    for length in (L // 10, L):
+        f = make(length)
         float(f(ef))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        best = 1e9
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(f(ef))
+            best = min(best, time.perf_counter() - t0)
+        times[length] = best
+    return (times[L] - times[L // 10]) / (L - L // 10)
 
 
-overhead = timed(None, probe_overhead=True)
-print(f"fixed overhead: {overhead*1e3:.2f} ms", flush=True)
 total = 0.0
 for name, step in PIECES.items():
-    t = (timed(step) - overhead) / L
+    t = timed(step)
     total += t
     print(f"{name:22s} {t*1e6:8.1f} us", flush=True)
 print(f"sum of pieces        {total*1e6:8.1f} us", flush=True)
@@ -111,5 +137,5 @@ def core_step(c):
     return out.ef.astype(c.dtype)
 
 
-t_core = (timed(core_step) - overhead) / L
+t_core = timed(core_step)
 print(f"full GNCore          {t_core*1e6:8.1f} us", flush=True)

@@ -524,6 +524,106 @@ def bfs_node_order(senders: np.ndarray, receivers: np.ndarray,
     return order
 
 
+def partition_edges_assigned(senders: np.ndarray, receivers: np.ndarray,
+                             nf: np.ndarray, assign: np.ndarray,
+                             num_shards: int,
+                             ef: Optional[np.ndarray] = None,
+                             gf: Optional[np.ndarray] = None,
+                             edge_pad_multiple: int = 128
+                             ) -> Tuple[PartitionedGraph, np.ndarray]:
+    """Partition with an explicit node->shard ``assign`` map.
+
+    Nodes are relabeled so each shard's nodes are contiguous
+    (``order[new_id] = old_id``; shard ``s`` owns new ids
+    ``[s*npad, s*npad + k_s)``), which the contiguous-block
+    :class:`PartitionedGraph` layout requires.  Returns ``(pg, order)``.
+    """
+    S = num_shards
+    assign = np.asarray(assign, np.int64)
+    counts = np.bincount(assign, minlength=S)
+    npad = int(counts.max())
+    order = np.argsort(assign, kind="stable")       # grouped by shard
+    new_of_old = np.empty(len(assign), np.int64)
+    pos = 0
+    for s in range(S):
+        k = int(counts[s])
+        new_of_old[order[pos:pos + k]] = s * npad + np.arange(k)
+        pos += k
+    # Re-pack node features into the new id space (shard-padded blocks).
+    nf_new = np.zeros((S * npad, nf.shape[1]), nf.dtype)
+    nf_new[new_of_old] = nf
+    pg = _partition_relabelled(new_of_old[senders], new_of_old[receivers],
+                               nf_new, S, npad, ef=ef, gf=gf,
+                               edge_pad_multiple=edge_pad_multiple,
+                               real_counts=counts)
+    return pg, order
+
+
+def _partition_relabelled(senders, receivers, nf_padded, S, npad, ef, gf,
+                          edge_pad_multiple, real_counts):
+    """Build a PartitionedGraph from already shard-blocked node ids
+    (shard ``s`` owns ids ``[s*npad, s*npad + real_counts[s])``)."""
+    owner = receivers // npad
+    counts = np.bincount(owner, minlength=S)
+    epad = int(-(-max(int(counts.max()), 1) // edge_pad_multiple)
+               * edge_pad_multiple)
+    sg = np.zeros((S, epad), np.int32)
+    rl = np.zeros((S, epad), np.int32)
+    em = np.zeros((S, epad), bool)
+    nm = np.zeros((S, npad), bool)
+    nfp = np.zeros((S, npad, nf_padded.shape[1]), np.float32)
+    efp = (np.zeros((S, epad, ef.shape[1]), np.float32)
+           if ef is not None else None)
+    for s in range(S):
+        sel = owner == s
+        k = int(sel.sum())
+        sg[s, :k] = senders[sel]
+        rl[s, :k] = receivers[sel] - s * npad
+        em[s, :k] = True
+        nm[s, : int(real_counts[s])] = True
+        nfp[s] = nf_padded[s * npad:(s + 1) * npad]
+        if ef is not None:
+            efp[s, :k] = ef[sel]
+    return PartitionedGraph(
+        senders_global=jnp.asarray(sg), receivers_local=jnp.asarray(rl),
+        edge_mask=jnp.asarray(em), node_mask=jnp.asarray(nm),
+        nf=jnp.asarray(nfp),
+        ef=jnp.asarray(efp) if efp is not None else None,
+        gf=jnp.asarray(gf[None, :].astype(np.float32))
+        if gf is not None else None,
+    )
+
+
+def partition_edges_mincut(senders: np.ndarray, receivers: np.ndarray,
+                           nf: np.ndarray, num_shards: int,
+                           ef: Optional[np.ndarray] = None,
+                           gf: Optional[np.ndarray] = None,
+                           edge_pad_multiple: int = 128,
+                           imbalance: float = 1.05,
+                           passes: int = 8
+                           ) -> Tuple[PartitionedGraph, np.ndarray]:
+    """Min-edge-cut partition: BFS (locality) seed assignment + native
+    greedy refinement (``runtime.native.refine_partition``) under a balance
+    cap of ``imbalance * ceil(N/S)`` nodes per shard.  Returns
+    ``(pg, order)`` like :func:`partition_edges_assigned`."""
+    from ..runtime import native
+    N = nf.shape[0]
+    order = bfs_node_order(senders, receivers, N)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(N)
+    block = -(-N // num_shards)
+    assign = np.minimum(inv // block, num_shards - 1)   # BFS-contiguous seed
+    und_s = np.concatenate([senders, receivers]).astype(np.int64)
+    und_r = np.concatenate([receivers, senders]).astype(np.int64)
+    indptr, adj = native.csc_from_coo(und_s, und_r, N)
+    cap = int(imbalance * block) + 1
+    assign, _ = native.refine_partition(indptr, adj, assign, num_shards,
+                                        cap=cap, passes=passes)
+    return partition_edges_assigned(senders, receivers, nf, assign,
+                                    num_shards, ef=ef, gf=gf,
+                                    edge_pad_multiple=edge_pad_multiple)
+
+
 def partition_edges_locality(senders: np.ndarray, receivers: np.ndarray,
                              nf: np.ndarray, num_shards: int,
                              ef: Optional[np.ndarray] = None,

@@ -153,6 +153,51 @@ void gt_partition_edges(const int64_t* receivers, int64_t E,
   delete[] cur;
 }
 
+// ---------------------------------------------------------------------------
+// Greedy min-edge-cut refinement of a node->shard assignment (an FM-style
+// relaxation): repeatedly move a node to the shard holding the plurality of
+// its neighbors when that strictly reduces the cut and the target shard is
+// under the balance cap.  Undirected CSR (indptr/adj over both edge
+// directions).  assign: [N] in/out.  Returns the number of moves applied.
+int64_t gt_refine_partition(const int64_t* indptr, const int64_t* adj,
+                            int64_t N, int64_t S, int64_t cap,
+                            int64_t passes, int64_t* assign) {
+  int64_t* counts = new int64_t[S]();
+  int64_t* hist = new int64_t[S]();
+  for (int64_t v = 0; v < N; ++v) counts[assign[v]]++;
+  int64_t moves = 0;
+  for (int64_t p = 0; p < passes; ++p) {
+    int64_t moved = 0;
+    for (int64_t v = 0; v < N; ++v) {
+      const int64_t cur = assign[v];
+      const int64_t lo = indptr[v], hi = indptr[v + 1];
+      if (hi == lo) continue;
+      // Histogram of neighbor shards (only shards seen get touched).
+      for (int64_t k = lo; k < hi; ++k) hist[assign[adj[k]]]++;
+      int64_t best = cur, best_n = hist[cur];
+      for (int64_t k = lo; k < hi; ++k) {
+        const int64_t s = assign[adj[k]];
+        if (hist[s] > best_n && (s == cur || counts[s] < cap)) {
+          best = s;
+          best_n = hist[s];
+        }
+      }
+      for (int64_t k = lo; k < hi; ++k) hist[assign[adj[k]]] = 0;
+      if (best != cur) {
+        assign[v] = best;
+        counts[cur]--;
+        counts[best]++;
+        ++moved;
+        ++moves;
+      }
+    }
+    if (moved == 0) break;
+  }
+  delete[] counts;
+  delete[] hist;
+  return moves;
+}
+
 // Scatter float32 feature rows by an index permutation: out[i] = in[perm[i]].
 void gt_gather_rows_f32(const float* in, const int64_t* perm, int64_t n,
                         int64_t d, float* out) {

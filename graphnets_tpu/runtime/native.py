@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["available", "batch_coo", "csc_from_coo", "sample_layer",
-           "partition_edges"]
+           "partition_edges", "refine_partition"]
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -68,6 +68,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gt_partition_edges.restype = None
         lib.gt_partition_edges.argtypes = [P(i64), i64, i64, i64, P(i64),
                                            P(i64)]
+        lib.gt_refine_partition.restype = i64
+        lib.gt_refine_partition.argtypes = [P(i64), P(i64), i64, i64, i64,
+                                            i64, P(i64)]
         _LIB = lib
         return _LIB
 
@@ -176,3 +179,47 @@ def partition_edges(receivers: np.ndarray, nodes_per_shard: int,
                            _ptr(counts, ctypes.c_int64),
                            _ptr(perm, ctypes.c_int64))
     return counts, perm
+
+
+def refine_partition(indptr: np.ndarray, adj: np.ndarray,
+                     assign: np.ndarray, num_shards: int, cap: int,
+                     passes: int = 8) -> Tuple[np.ndarray, int]:
+    """Greedy min-edge-cut refinement of a node->shard assignment.
+
+    ``indptr``/``adj``: undirected CSR (both edge directions).  Moves each
+    node to the plurality shard of its neighbors when that strictly reduces
+    the cut and the target shard holds < ``cap`` nodes.  Returns the refined
+    assignment (copy) and the number of moves.
+    """
+    assign = np.ascontiguousarray(assign, np.int64).copy()
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    adj = np.ascontiguousarray(adj, np.int64)
+    N = len(assign)
+    lib = _load()
+    if lib is not None:
+        moves = lib.gt_refine_partition(
+            _ptr(indptr, ctypes.c_int64), _ptr(adj, ctypes.c_int64), N,
+            num_shards, cap, passes, _ptr(assign, ctypes.c_int64))
+        return assign, int(moves)
+    counts = np.bincount(assign, minlength=num_shards)
+    moves = 0
+    for _ in range(passes):
+        moved = 0
+        for v in range(N):
+            nbrs = adj[indptr[v]:indptr[v + 1]]
+            if len(nbrs) == 0:
+                continue
+            hist = np.bincount(assign[nbrs], minlength=num_shards)
+            cur = assign[v]
+            ok = (hist > hist[cur]) & (counts < cap)
+            ok[cur] = False
+            if ok.any():
+                best = int(np.argmax(np.where(ok, hist, -1)))
+                counts[cur] -= 1
+                counts[best] += 1
+                assign[v] = best
+                moved += 1
+                moves += 1
+        if moved == 0:
+            break
+    return assign, moves

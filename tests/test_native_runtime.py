@@ -106,3 +106,53 @@ def test_native_batch_in_graph_api():
         np.testing.assert_array_equal(y["graphs"][b], adjs[b])
         np.testing.assert_array_equal(y["ef"][b], ef[b])
         np.testing.assert_array_equal(y["nf"][b], nf[b])
+
+
+def test_refine_partition_contract():
+    """Native and numpy refinement both reduce the edge cut on a
+    community-structured graph and respect the balance cap.  (The two
+    backends are allowed to differ in tie-breaking, so the contract is
+    behavioral, not bitwise.)"""
+    import os
+    from graphnets_tpu.runtime import native
+
+    rng = np.random.default_rng(0)
+    C, NC, S = 4, 32, 4
+    N = C * NC
+    s_l, r_l = [], []
+    for c in range(C):
+        s_l.append(rng.integers(0, NC, NC * 8) + c * NC)
+        r_l.append(rng.integers(0, NC, NC * 8) + c * NC)
+    s_l.append(rng.integers(0, N, 30))
+    r_l.append(rng.integers(0, N, 30))
+    senders = np.concatenate(s_l).astype(np.int64)
+    receivers = np.concatenate(r_l).astype(np.int64)
+    perm = rng.permutation(N)
+    senders, receivers = perm[senders], perm[receivers]
+
+    und_s = np.concatenate([senders, receivers])
+    und_r = np.concatenate([receivers, senders])
+    indptr, adj = native.csc_from_coo(und_s, und_r, N)
+    seed = rng.integers(0, S, size=N).astype(np.int64)   # random = bad seed
+    cut0 = int(np.sum(seed[senders] != seed[receivers]))
+    cap = int(1.1 * N / S) + 1
+
+    refined, moves = native.refine_partition(indptr, adj, seed, S, cap=cap)
+    cut1 = int(np.sum(refined[senders] != refined[receivers]))
+    assert moves > 0 and cut1 < cut0, (moves, cut0, cut1)
+    assert np.bincount(refined, minlength=S).max() <= cap
+
+    if native.available():
+        # numpy fallback obeys the same contract
+        os.environ["GRAPHNETS_TPU_NATIVE"] = "0"
+        try:
+            import importlib
+            native2 = importlib.reload(native)
+            ref2, mv2 = native2.refine_partition(indptr, adj, seed, S,
+                                                 cap=cap)
+            cut2 = int(np.sum(ref2[senders] != ref2[receivers]))
+            assert mv2 > 0 and cut2 < cut0
+            assert np.bincount(ref2, minlength=S).max() <= cap
+        finally:
+            os.environ["GRAPHNETS_TPU_NATIVE"] = "1"
+            importlib.reload(native)

@@ -376,3 +376,86 @@ def test_halo_overlap_v3_matches_v1(cpu_devices):
         np.testing.assert_allclose(np.asarray(out_v3.ef)[em],
                                    np.asarray(out_v1.ef)[em],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_mincut_partition_reduces_cut_and_matches(cpu_devices):
+    """Greedy min-edge-cut refinement reduces the edge cut vs the
+    BFS-contiguous seed on a community-structured graph, and the resulting
+    partitioned block still matches the unpartitioned reference."""
+    from graphnets_tpu.parallel.edge_partition import (
+        bfs_node_order, build_halo_plan, gn_block_partitioned_halo,
+        partition_edges_mincut)
+    from graphnets_tpu.graph import GraphsTuple
+    from graphnets_tpu.models.gn_block import GNBlock
+
+    rng = np.random.default_rng(7)
+    S, C, NC = 8, 8, 16                    # 8 communities of 16 nodes
+    N = C * NC
+    senders, receivers = [], []
+    for c in range(C):                      # dense intra-community edges
+        base = c * NC
+        s = rng.integers(0, NC, size=NC * 6) + base
+        r = rng.integers(0, NC, size=NC * 6) + base
+        senders.append(s)
+        receivers.append(r)
+    inter_s = rng.integers(0, N, size=40)   # sparse inter-community edges
+    inter_r = rng.integers(0, N, size=40)
+    senders = np.concatenate(senders + [inter_s]).astype(np.int32)
+    receivers = np.concatenate(receivers + [inter_r]).astype(np.int32)
+    # scramble labels so communities are NOT contiguous in node id
+    perm = rng.permutation(N)
+    senders, receivers = perm[senders].astype(np.int32), \
+        perm[receivers].astype(np.int32)
+
+    nf = rng.normal(size=(N, 6)).astype(np.float32)
+    ef = rng.normal(size=(len(senders), 4)).astype(np.float32)
+    gf = rng.normal(size=(3,)).astype(np.float32)
+
+    # cut of the BFS-contiguous seed
+    order = bfs_node_order(senders, receivers, N)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(N)
+    block_sz = -(-N // S)
+    seed_assign = np.minimum(inv // block_sz, S - 1)
+    cut_seed = int(np.sum(seed_assign[senders] != seed_assign[receivers]))
+
+    pg, order2 = partition_edges_mincut(senders, receivers, nf, S, ef=ef,
+                                        gf=gf, edge_pad_multiple=8)
+    # recover the refined assignment from the relabeling
+    npad = pg.nodes_per_shard
+    new_of_old = np.empty(N, np.int64)
+    nm = np.asarray(pg.node_mask)
+    pos = 0
+    for s in range(S):
+        k = int(nm[s].sum())
+        new_of_old[order2[pos:pos + k]] = s * npad + np.arange(k)
+        pos += k
+    assign = new_of_old // npad
+    cut_ref = int(np.sum(assign[senders] != assign[receivers]))
+    assert cut_ref < cut_seed, (cut_ref, cut_seed)
+
+    # balance cap respected
+    counts = np.bincount(assign, minlength=S)
+    assert counts.max() <= int(1.05 * block_sz) + 1
+
+    # partitioned block on the mincut layout == unpartitioned block
+    block = GNBlock((4, 6, 3), (5, 7, 2))
+    params = block.init(jax.random.PRNGKey(3))
+    mesh = _mesh(cpu_devices, S, names=("graph",))
+    plan = build_halo_plan(pg)
+    out = gn_block_partitioned_halo(block, params, pg, plan, mesh)
+
+    E = len(senders)
+    g = GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=jnp.asarray(ef), nf=jnp.asarray(nf), gf=jnp.asarray(gf)[None],
+    )
+    y = block.apply(params, g)
+    nf_out = np.asarray(out.nf).reshape(S * npad, -1)
+    np.testing.assert_allclose(nf_out[new_of_old], np.asarray(y.nf),
+                               rtol=1e-4, atol=1e-4)
