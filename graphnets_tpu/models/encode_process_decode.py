@@ -31,12 +31,13 @@ class EncodeProcessDecode(Module):
     y_dims: Tuple[int, int, int]
     n_cores: int = 2
     dropout: float = 0.0
+    remat: bool = False  # jax.checkpoint each core (memory for FLOPs)
 
     def _parts(self):
         return (
             GNBlock(self.x_dims, self.core_dims),
             GNCoreList([GNCore(self.core_dims, self.dropout)
-                        for _ in range(self.n_cores)]),
+                        for _ in range(self.n_cores)], remat=self.remat),
             GNBlock(self.core_dims, self.y_dims),
         )
 

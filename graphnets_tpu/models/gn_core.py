@@ -169,12 +169,21 @@ class GNCore(Module):
 @dataclasses.dataclass(frozen=True)
 class GNCoreList(Module):
     """Sequential composition of cores
-    (``/root/reference/src/gncorelist.jl:37-45``)."""
+    (``/root/reference/src/gncorelist.jl:37-45``).
+
+    ``remat=True`` wraps each core in ``jax.checkpoint``: activations inside
+    a core are recomputed during the backward pass instead of stored, so
+    training memory scales with ONE core instead of the full stack depth —
+    the standard TPU trade of FLOPs for HBM (SURVEY.md).  Gradients are
+    unchanged (tested).
+    """
 
     cores: Tuple[Module, ...]
+    remat: bool = False
 
-    def __init__(self, cores: Sequence[Module]):
+    def __init__(self, cores: Sequence[Module], remat: bool = False):
         object.__setattr__(self, "cores", tuple(cores))
+        object.__setattr__(self, "remat", remat)
 
     def init(self, key):
         keys = jax.random.split(key, max(len(self.cores), 1))
@@ -185,5 +194,10 @@ class GNCoreList(Module):
             crng = None
             if rng is not None:
                 rng, crng = jax.random.split(rng)
-            g = c.apply(params[str(i)], g, training=training, rng=crng)
+            if self.remat:
+                def fwd(p, g, r, c=c):
+                    return c.apply(p, g, training=training, rng=r)
+                g = jax.checkpoint(fwd)(params[str(i)], g, crng)
+            else:
+                g = c.apply(params[str(i)], g, training=training, rng=crng)
         return g

@@ -2,6 +2,7 @@
 (mirrors ``/root/reference/test/runtests.jl:685-735``)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import graphnets_tpu as gn
@@ -112,3 +113,36 @@ def test_encoder_core_decoder_stack():
     y = dec.apply(p["dec"], cores.apply(p["core"],
                                         enc.apply(p["enc"], x)))
     assert y.nf.shape[-1] == 2 and y.ef.shape[-1] == 2 and y.gf is None
+
+
+def test_corelist_remat_matches():
+    """remat=True (jax.checkpoint per core) gives the same outputs and
+    gradients as the unremated stack."""
+    rng = np.random.default_rng(17)
+    adjs = [np.ones((3, 3), int), np.ones((4, 4), int)]
+    d = 8
+    x = gn.batch({
+        "graphs": adjs,
+        "ef": [rng.normal(size=(9, d)).astype(np.float32),
+               rng.normal(size=(16, d)).astype(np.float32)],
+        "nf": [rng.normal(size=(3, d)).astype(np.float32),
+               rng.normal(size=(4, d)).astype(np.float32)],
+        "gf": rng.normal(size=(2, d)).astype(np.float32),
+    }, pad=gn.PadSpec(8, 32, 4))
+    plain = gn.GNCoreList([gn.GNCore((d, d, d)) for _ in range(3)])
+    remat = gn.GNCoreList([gn.GNCore((d, d, d)) for _ in range(3)],
+                          remat=True)
+    params = plain.init(jax.random.PRNGKey(0))
+
+    def loss(m, p):
+        y = m.apply(p, x)
+        return (jnp.sum(y.ef ** 2) + jnp.sum(y.nf ** 2)
+                + jnp.sum(y.gf ** 2))
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
