@@ -135,8 +135,10 @@ def _linear_split(params, out_dtype, terms, rows):
             preferred_element_type=jnp.float32)
         if idx is not None:
             # Gather in the input dtype (halves HBM traffic for bf16); the
-            # MXU already accumulated this partial in f32.
-            y = jnp.take(y.astype(x.dtype), idx, axis=0, mode="clip")
+            # MXU already accumulated this partial in f32.  The gather's
+            # backward scatter-add runs sorted (Pallas kernel) instead of
+            # as an XLA serial scatter.
+            y = scatter.take_rows_sorted_grad(y.astype(x.dtype), idx)
         acc = y.astype(jnp.float32) if acc is None \
             else acc + y.astype(jnp.float32)
     if acc is None:

@@ -38,10 +38,46 @@ def _mask_rows(x: Array, mask: Optional[Array]) -> Array:
     return jnp.where(mask[:, None], x, jnp.zeros((), x.dtype))
 
 
+@jax.custom_vjp
+def take_rows_sorted_grad(x: Array, idx: Array) -> Array:
+    """``x[idx]`` whose backward scatter-add runs SORTED.
+
+    The adjoint of a row gather is a scatter-add of the output cotangent by
+    ``idx`` — which XLA lowers to a serial scatter (~13x off roofline on
+    TPU).  Here the backward instead sorts the cotangent rows by ``idx``
+    (one argsort of ``idx``, CSE-d across blocks sharing the index array)
+    and reduces with the CSR one-hot-matmul Pallas kernel / sorted
+    ``segment_sum``.  Numerically this changes only the intra-segment
+    accumulation order (both accumulate in f32).
+    """
+    return jnp.take(x, idx, axis=0, mode="clip")
+
+
+def _take_rows_fwd(x, idx):
+    return jnp.take(x, idx, axis=0, mode="clip"), (idx, x.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, n = res
+    perm = jnp.argsort(idx)
+    seg = jnp.take(idx, perm)
+    gs = jnp.take(g, perm, axis=0)
+    dx = segment_sum(gs, seg, n, indices_are_sorted=True,
+                     sorted_pad_safe=True)
+    return dx.astype(g.dtype), None
+
+
+take_rows_sorted_grad.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def gather_nodes(nf: Array, idx: Array) -> Array:
     """``nf[idx]`` — replaces ``batched_mul(nf, src/dstnode2edge_broadcaster)``
     (``/root/reference/src/edgefninput.jl:4-5``).  O(E·DN) HBM traffic instead
-    of an O(PN·PN²) dense matmul."""
+    of an O(PN·PN²) dense matmul.  Backward scatter-add runs sorted (see
+    :func:`take_rows_sorted_grad`)."""
+    from ..utils.config import get_config
+    if get_config().sorted_scatter_grad:
+        return take_rows_sorted_grad(nf, idx)
     return jnp.take(nf, idx, axis=0, indices_are_sorted=False,
                     unique_indices=False, mode="clip")
 

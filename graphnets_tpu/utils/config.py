@@ -22,6 +22,10 @@ class Config:
     # sums accumulate in f32); at avg degree 16 it cuts edge-update FLOPs
     # ~3.5x and removes the [E, DE+2DN+DG] concat from HBM.
     split_linear: bool = True
+    # Run the backward scatter-add of node gathers SORTED (argsort the
+    # cotangent rows once, reduce with the sorted-segment-sum kernel)
+    # instead of XLA's serial scatter.
+    sorted_scatter_grad: bool = True
 
 
 _config = Config(
