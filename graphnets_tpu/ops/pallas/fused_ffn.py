@@ -63,22 +63,38 @@ def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 
 def supports_fused_ffn(n_rows: int, d: int) -> bool:
-    """Shapes the kernel handles: feature dim lane-aligned, rows tileable."""
-    return d % 128 == 0 and n_rows % 8 == 0 and n_rows >= 8
+    """Shapes the kernel handles: feature dim lane-aligned, rows tileable,
+    and the resident weights + one minimal row tile within the VMEM budget
+    (conservatively assuming f32)."""
+    dh = 4 * d
+    fits = 2 * d * dh * 4 + 8 * (d * 12 + dh * 8) <= _VMEM_BUDGET
+    return d % 128 == 0 and n_rows % 8 == 0 and n_rows >= 8 and fits
 
 
-def _pick_tile(n_rows: int) -> int:
+_VMEM_BUDGET = 12 << 20  # leave headroom under the 16M scoped-vmem limit
+
+
+def _pick_tile(n_rows: int, d: int, dh: int, itemsize: int) -> int:
+    """Largest row tile whose working set fits VMEM.
+
+    Working set ~= resident weights (2*d*dh*itemsize) + per-row
+    intermediates: xf/y in f32 (8d bytes), xn in input dtype, h in f32 +
+    input dtype.  An f32 input at tile 1024 / d=384 overflows the 16M
+    scoped-vmem stack (measured), so the tile is budgeted, not fixed.
+    """
+    weights = 2 * d * dh * itemsize
+    per_row = d * (8 + itemsize) + dh * (4 + itemsize)
     for t in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if n_rows % t == 0:
+        if n_rows % t == 0 and weights + t * per_row <= _VMEM_BUDGET:
             return t
-    return n_rows
+    return 8
 
 
 def _fused_forward(x, scale, bias, w1, b1, w2, b2):
     from ...utils.config import get_config
     T, d = x.shape
     dh = w1.shape[1]
-    tile = _pick_tile(T)
+    tile = _pick_tile(T, d, dh, x.dtype.itemsize)
     grid = (T // tile,)
     row = lambda i: (i, 0)
     full = lambda i: (0, 0)

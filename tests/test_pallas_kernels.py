@@ -147,3 +147,25 @@ def test_gnblock_with_pallas_segsum_matches(interpret_mode):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(y_pallas["ef"][b], y_pure["ef"][b],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_take_rows_sorted_grad_matches(interpret_mode):
+    """take_rows_sorted_grad == jnp.take in the forward and its VJP,
+    with the backward reduction running through the Pallas kernel
+    (interpreter mode)."""
+    import jax.numpy as jnp
+    from graphnets_tpu.ops.scatter import take_rows_sorted_grad
+
+    rng = np.random.default_rng(5)
+    N, E, D = 128, 256, 128          # kernel-supported shapes
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+
+    y, vjp = jax.vjp(lambda x: take_rows_sorted_grad(x, idx), x)
+    y_ref, vjp_ref = jax.vjp(
+        lambda x: jnp.take(x, idx, axis=0, mode="clip"), x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_allclose(np.asarray(vjp(ct)[0]),
+                               np.asarray(vjp_ref(ct)[0]),
+                               rtol=1e-6, atol=1e-6)
