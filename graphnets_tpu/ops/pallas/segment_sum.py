@@ -1,21 +1,26 @@
 """Sorted segment-sum as a Pallas TPU kernel — the hot aggregation op.
 
 ``jax.ops.segment_sum`` lowers to scatter-add, which on TPU costs ~13x the
-memory-bound roofline (measured 239us vs ~18us for E=16384, D=384 on v5e).
-The framework's canonical edge order (column-major adjacency, see
-``graph.py``) makes ``receivers`` globally sorted, i.e. the edge array is
-CSR-by-destination.  This kernel exploits that: grid over segment tiles,
-each tile's edge range is contiguous ``[indptr[n0], indptr[n0 + TN])``;
-edge features are DMA'd in aligned fixed-size chunks and reduced with a
-one-hot matmul on the MXU (``[TN, TE] @ [TE, D]``) — scatter becomes dense
-compute.  The one-hot is built from per-tile CSR row-pointer row vectors
-(``lower/upper``), not from the raw segment-id array, so no lane-misaligned
-int DMA is needed and rows outside the tile's range match no column.
+memory-bound roofline (measured 239us vs ~18us for E=16384, D=384 on v5e;
+12.8ms vs ~1.4ms at E=1M, D=256).  The framework's canonical edge order
+(column-major adjacency, see ``graph.py``) makes ``receivers`` globally
+sorted, i.e. the edge array is CSR-by-destination.  This kernel exploits
+that: grid over segment tiles, each tile's edge range is contiguous; edge
+features AND their segment ids are DMA'd in aligned fixed-size chunks and
+reduced with a one-hot matmul on the MXU (``[TN, TE] @ [TE, D]``) — scatter
+becomes dense compute.  The one-hot compares the chunk's segment ids
+against the tile's segment range directly, so rows outside the tile match
+no column and no masking is needed.
+
+Host-side index work is O(grid): one ``searchsorted`` with ``grid + 1``
+queries for the per-tile chunk bounds.  (A previous revision built the full
+``[num_segments + 1]`` CSR indptr — that searchsorted alone cost 11 ms at
+1M edges / 65k segments, ~8x the kernel itself.)
 
 Requirements (checked by ``supports_sorted_segment_sum``; callers fall back
 to ``jax.ops.segment_sum``): segment ids sorted ascending, ``E`` divisible
 by 128, ``D`` lane-aligned.  Padded edges must target padded segments (the
-batch layout guarantees this), so no masking is needed.
+batch layout guarantees this).
 
 Backward: d/d x = gather(g, seg) — cheap in XLA; custom_vjp below.
 """
@@ -55,61 +60,81 @@ def supports_sorted_segment_sum(num_rows: int, num_segments: int,
 
 def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
             x_hbm,          # [E, D] in ANY (manual DMA)
-            lower_ref,      # [8, TN] VMEM: indptr[n0 : n0+TN] (bcast rows)
-            upper_ref,      # [8, TN] VMEM: indptr[n0+1 : n0+TN+1]
+            seg_hbm,        # [1, E] int32 in ANY (manual DMA, lane-major)
             out_ref,        # [TN, D] VMEM block
-            x_buf, acc_ref, sems,
+            x_buf, seg_buf, acc_ref, sems, seg_sems,
             *, TE: int, TN: int, D: int, E: int):
     i = pl.program_id(0)
     start = bounds_ref[i]
     end = bounds_ref[i + 1]
+    n0 = i * TN
 
     acc_ref[:] = jnp.zeros((TN, D), jnp.float32)
     # Mosaic requires DMA offsets provably aligned: iterate TE-aligned
-    # windows covering [start, end).  Rows outside the tile's segment
-    # ranges match no one-hot column, so no extra masking is needed.
-    # The chunk loop is statically unrolled with @pl.when guards (dynamic
-    # trip counts defeat Mosaic's pipelining); KMAX bounds the worst-case
-    # skew (all edges in one tile).
+    # windows covering [start, end).  Rows whose segment id falls outside
+    # [n0, n0 + TN) match no one-hot column, so no masking is needed.  The
+    # chunk loop is a DYNAMIC fori_loop over pairs of chunks (so each
+    # double-buffer slot index stays static): per-tile work is O(actual
+    # chunks), not O(E / TE).
     start_al = (start // TE) * TE
     nchunks = pl.cdiv(end - start_al, TE)
-    low = lower_ref[0:1, :]       # [1, TN] (rows are 8x-broadcast copies)
-    up = upper_ref[0:1, :]        # [1, TN]
-    KMAX = E // TE
+    # Tile's segment ids down the sublane dim: [TN, 1].
+    seg_rows = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + n0
 
-    def dma(k, slot):
+    def off_of(k):
         # clamp (guards dead speculative prefetch), THEN assert alignment —
         # min of two TE-multiples is a TE-multiple, but Mosaic's prover
         # needs the multiple_of hint outermost.
-        off = pl.multiple_of(
-            jnp.minimum(start_al + k * TE, E - TE), TE)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(off, TE), :], x_buf.at[slot], sems.at[slot])
+        return pl.multiple_of(jnp.minimum(start_al + k * TE, E - TE), TE)
+
+    def dma(k, slot):
+        off = off_of(k)
+        return (pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(off, TE), :], x_buf.at[slot],
+                    sems.at[slot]),
+                pltpu.make_async_copy(
+                    seg_hbm.at[:, pl.ds(off, TE)], seg_buf.at[slot],
+                    seg_sems.at[slot]))
+
+    def start_dma(k, slot):
+        a, b = dma(k, slot)
+        a.start()
+        b.start()
+
+    def compute(k, slot):
+        a, b = dma(k, slot)
+        a.wait()
+        b.wait()
+        seg_row = seg_buf[slot]                            # [1, TE]
+        onehot = jnp.where(seg_row == seg_rows, 1.0,
+                           0.0).astype(x_buf.dtype)        # [TN, TE]
+        acc_ref[:] += jax.lax.dot_general(
+            onehot, x_buf[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(nchunks > 0)
     def _():
-        dma(0, 0).start()
+        start_dma(0, 0)
 
-    for k in range(KMAX):
-        slot = k % 2
+    def body(p, carry):
+        k0 = 2 * p
 
-        @pl.when(k + 1 < nchunks)
-        def _(k=k, ns=(k + 1) % 2):
-            dma(k + 1, ns).start()
+        @pl.when(k0 + 1 < nchunks)
+        def _():
+            start_dma(k0 + 1, 1)
 
-        @pl.when(k < nchunks)
-        def _(k=k, slot=slot):
-            dma(k, slot).wait()
-            off = pl.multiple_of(
-                jnp.minimum(start_al + k * TE, E - TE), TE)
-            grow = jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0) + off
-            onehot = jnp.where((grow >= low) & (grow < up),
-                               1.0, 0.0).astype(x_buf.dtype)   # [TE, TN]
-            acc_ref[:] += jax.lax.dot_general(
-                onehot, x_buf[slot],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        compute(k0, 0)                      # k0 < nchunks by trip count
 
+        @pl.when(k0 + 1 < nchunks)
+        def _():
+            @pl.when(k0 + 2 < nchunks)
+            def _():
+                start_dma(k0 + 2, 0)
+            compute(k0 + 1, 1)
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(nchunks, 2), body, 0)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -122,16 +147,12 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
     pad_segments = ((num_segments + TN - 1) // TN) * TN
     grid = pad_segments // TN
 
-    indptr = jnp.searchsorted(
-        seg, jnp.arange(0, pad_segments + 1, dtype=seg.dtype),
-        side="left").astype(jnp.int32)                 # [pad_segments + 1]
-    # Pallas TPU block sublane dims must be >= 8: broadcast each tile's
-    # row-pointer row to 8 identical sublanes.
-    lower = jnp.broadcast_to(indptr[:-1].reshape(grid, 1, TN),
-                             (grid, 8, TN)).reshape(grid * 8, TN)
-    upper = jnp.broadcast_to(indptr[1:].reshape(grid, 1, TN),
-                             (grid, 8, TN)).reshape(grid * 8, TN)
-    bounds = indptr[::TN]                              # [grid + 1]
+    seg = seg.astype(jnp.int32)
+    # Per-tile chunk bounds only — grid + 1 searchsorted queries, not a
+    # full [num_segments + 1] indptr.
+    bounds = jnp.searchsorted(
+        seg, jnp.arange(0, pad_segments + 1, TN, dtype=seg.dtype),
+        side="left").astype(jnp.int32)                     # [grid + 1]
 
     out = pl.pallas_call(
         functools.partial(_kernel, TE=TE, TN=TN, D=D, E=E),
@@ -140,16 +161,15 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((8, TN), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, TN), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec((TN, D), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, TE, D), x.dtype),   # double-buffered chunks
+                pltpu.VMEM((2, TE, D), x.dtype),     # double-buffered chunks
+                pltpu.VMEM((2, 1, TE), jnp.int32),   # chunk segment ids
                 pltpu.VMEM((TN, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -161,7 +181,7 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(bounds, x, lower, upper)
+    )(bounds, x, seg.reshape(1, E))
     return out[:num_segments]
 
 
