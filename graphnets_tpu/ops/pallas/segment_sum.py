@@ -160,8 +160,8 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((TN, D), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
