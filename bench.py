@@ -54,6 +54,11 @@ def build_graphs(seed=0):
     N = N_PER_G
     sg = np.concatenate(senders).astype(np.int32)
     rg = np.concatenate(receivers).astype(np.int32)
+    # Canonical edge order (what batch() emits): sorted by (receiver,
+    # sender).  Node ids are per-graph offset, so one global lexsort gives
+    # per-graph column-major order — the sorted-segment-sum precondition.
+    order = np.lexsort((sg, rg))
+    sg, rg = sg[order], rg[order]
     ef = rng.normal(size=(B * E, D)).astype(np.float32)
     nf = rng.normal(size=(B * N, D)).astype(np.float32)
     gf = rng.normal(size=(B, D)).astype(np.float32)

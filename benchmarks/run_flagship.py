@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Flagship convergence run: the reference's full sort recipe
+(``/root/reference/examples/sort/sort.jl:86-89,116-120``) — vocab 100,
+dims (384, 384, 384), 2 GNCores, batch 4, AdamW 3e-4, 20k steps — trained
+to convergence, with task-accuracy evaluation on fresh data (BASELINE.md
+item 1: the reference publishes no accuracy number, so this run IS the
+recorded baseline + parity evidence).
+
+Usage:
+    python benchmarks/run_flagship.py [--steps 20000] [--dtype f32|bf16]
+        [--ckpt DIR] [--json OUT.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from graphnets_tpu.data.sort_task import SortTaskConfig, device_batch, \
+    sort_pad_spec
+from graphnets_tpu.training.train import (evaluate_sort, train_sort_device)
+from graphnets_tpu.training.losses import graph_accuracy, masked_accuracy
+from graphnets_tpu.utils.metrics import MetricLogger
+from graphnets_tpu.utils.warmup import enable_compilation_cache
+
+
+def eval_by_size(model, params, vocab, n_eval=512, batch_size=64, dtype=None):
+    """Graph accuracy per graph size (all graphs in a batch share n)."""
+    out = {}
+    for n in range(2, 11):
+        cfg = SortTaskConfig(vocab_size=vocab, min_nodes=n, max_nodes=n,
+                             batch_size=batch_size)
+        pad = sort_pad_spec(cfg)
+
+        @jax.jit
+        def run(key, cfg=cfg, pad=pad):
+            def body(c, k):
+                x, y = device_batch(k, cfg, pad, dtype=dtype)
+                pred = model.apply(params, x)
+                return c, (masked_accuracy(pred.nf, y.nf, x.node_mask),
+                           masked_accuracy(pred.ef, y.ef, x.edge_mask),
+                           graph_accuracy(pred, y))
+            keys = jax.random.split(key, max(n_eval // batch_size, 1))
+            _, ms = jax.lax.scan(body, 0, keys)
+            return jax.tree_util.tree_map(jnp.mean, ms)
+
+        na, ea, ga = run(jax.random.PRNGKey(99 + n))
+        out[n] = {"node_acc": float(na), "edge_acc": float(ea),
+                  "graph_acc": float(ga)}
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20_000)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--chunk", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    cfg = SortTaskConfig(vocab_size=100, min_nodes=2, max_nodes=10,
+                         batch_size=4)
+
+    logger = MetricLogger(jsonl_path="/tmp/flagship_metrics.jsonl")
+    t0 = time.time()
+    res = train_sort_device(
+        steps=args.steps, cfg=cfg, core_dims=(384, 384, 384), n_cores=2,
+        learning_rate=3e-4, seed=args.seed, chunk=args.chunk, dtype=dtype,
+        log_fn=logger.write)
+    wall = time.time() - t0
+
+    print(f"trained {args.steps} steps ({args.dtype}) in {wall:.1f}s "
+          f"({res.steps_per_sec:.0f} steps/s)")
+    print(f"final train-chunk metrics: "
+          f"{ {k: round(v, 4) for k, v in res.metrics.items()} }")
+
+    ev = evaluate_sort(res.model, res.state.params, cfg, n_batches=1024,
+                       dtype=dtype)
+    print(f"eval (4096 fresh graphs, n in [2,10]): "
+          f"{ {k: round(v, 4) for k, v in ev.items()} }")
+    by_size = eval_by_size(res.model, res.state.params, cfg.vocab_size,
+                           dtype=dtype)
+    for n, m in by_size.items():
+        print(f"  n={n}: node {m['node_acc']:.4f}  edge {m['edge_acc']:.4f}"
+              f"  graph {m['graph_acc']:.4f}")
+
+    if args.ckpt:
+        from graphnets_tpu.training.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.ckpt)
+        mgr.save(args.steps, res.state, wait=True)
+        mgr.close()
+        print(f"checkpoint saved to {args.ckpt}")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({
+                "recipe": {"steps": args.steps, "dims": [384, 384, 384],
+                           "n_cores": 2, "batch_size": 4, "lr": 3e-4,
+                           "vocab": 100, "dtype": args.dtype,
+                           "seed": args.seed},
+                "wall_seconds": wall,
+                "steps_per_sec": res.steps_per_sec,
+                "final_train_metrics": res.metrics,
+                "eval": ev,
+                "eval_by_size": by_size,
+            }, f, indent=1)
+        print(f"results written to {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from .graph import (
     flatunpaddednf,
     flatunpaddedef,
     collapse_ef,
+    collapse_ef_padded,
     collapsef,
     unpadded_collapsed_ef,
     flat_unpadded_collapsed_ef,
@@ -51,7 +52,7 @@ __all__ = [
     "efview", "nfview", "gfview",
     "flat_unpadded_nf", "flat_unpadded_ef",
     "flatunpaddednf", "flatunpaddedef",
-    "collapse_ef", "collapsef", "unpadded_collapsed_ef",
+    "collapse_ef", "collapse_ef_padded", "collapsef", "unpadded_collapsed_ef",
     "flat_unpadded_collapsed_ef", "adjacency_matrices",
     "GNBlock", "get_edge_fn_input", "get_node_fn_input",
     "get_graph_fn_input", "zerodim2nothing",

@@ -60,9 +60,30 @@ def _open_maybe_gz(path: str) -> io.BufferedReader:
     raise FileNotFoundError(f"{path}[.gz] not found")
 
 
-def _read_csv(path: str, dtype) -> np.ndarray:
+def _read_csv(path: str, dtype, cache: bool = False) -> np.ndarray:
+    """Parse a (possibly gzipped) headerless CSV.
+
+    Uses pandas' C parser when available (np.loadtxt is ~100x slower and
+    impractical at ogbn-products scale: ~123M edge rows).  With ``cache``,
+    the parsed array is stored as ``<path>.npy`` next to the raw file on
+    first load and memory-loaded afterwards.
+    """
+    npy = path + ".npy"
+    if cache and os.path.exists(npy):
+        return np.load(npy)
     with _open_maybe_gz(path) as f:
-        arr = np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+        try:
+            import pandas as pd
+            arr = pd.read_csv(f, header=None, dtype=dtype).to_numpy()
+        except ImportError:
+            arr = np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if cache:
+        try:
+            np.save(npy, arr)
+        except OSError:
+            pass  # read-only dataset directory: skip caching
     return arr
 
 
@@ -92,21 +113,46 @@ def load_ogb_node_dataset(root: str, name: str,
     d = _dataset_dir(root, name)
     raw = os.path.join(d, "raw")
 
-    edges = _read_csv(os.path.join(raw, "edge.csv"), np.int64)
+    edges = _read_csv(os.path.join(raw, "edge.csv"), np.int64, cache=True)
     senders, receivers = edges[:, 0].copy(), edges[:, 1].copy()
     if make_undirected:
+        # Coalesce like official OGB preprocessing (to_undirected): reverse
+        # edges are added, then duplicate (src, dst) pairs removed — raw
+        # reciprocal pairs / repeated rows must not double edge multiplicity.
         senders, receivers = (np.concatenate([senders, receivers]),
                               np.concatenate([receivers, senders]))
+        pairs = np.unique(np.stack([senders, receivers], axis=1), axis=0)
+        senders, receivers = pairs[:, 0].copy(), pairs[:, 1].copy()
 
     node_feat = _read_csv(os.path.join(raw, "node-feat.csv"),
-                          np.float32)
+                          np.float32, cache=True)
+
+    # Edge ids feed the native CSC builder (runtime/batcher.cpp) which
+    # trusts its inputs — an out-of-range id from a corrupt/mismatched
+    # dataset would write out of bounds, so validate here.
+    n_nodes = node_feat.shape[0]
+    for arr, what in ((senders, "source"), (receivers, "destination")):
+        if len(arr) and (arr.min() < 0 or arr.max() >= n_nodes):
+            bad = arr[(arr < 0) | (arr >= n_nodes)][0]
+            raise ValueError(
+                f"{os.path.join(raw, 'edge.csv')}: {what} node id {bad} out "
+                f"of range [0, {n_nodes}) given node-feat.csv with "
+                f"{n_nodes} rows — edge file does not match feature file")
 
     labels: Optional[np.ndarray] = None
     num_classes = 0
     try:
-        labels = _read_csv(os.path.join(raw, "node-label.csv"),
-                           np.int64).reshape(-1)
-        num_classes = int(labels.max()) + 1
+        raw_labels = _read_csv(os.path.join(raw, "node-label.csv"),
+                               np.float64, cache=True).reshape(-1)
+        # OGB marks unlabeled nodes with -1 or NaN; exclude them from the
+        # class count and keep them as -1 sentinels in int labels.
+        valid = np.isfinite(raw_labels) & (raw_labels >= 0)
+        labels = np.where(valid, raw_labels, -1).astype(np.int64)
+        if len(labels) != n_nodes:
+            raise ValueError(
+                f"{os.path.join(raw, 'node-label.csv')}: {len(labels)} "
+                f"labels != {n_nodes} nodes in node-feat.csv")
+        num_classes = int(labels[valid].max()) + 1 if valid.any() else 0
     except FileNotFoundError:
         pass
 

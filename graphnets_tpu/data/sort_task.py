@@ -17,7 +17,8 @@ import numpy as np
 
 from ..graph import GraphsTuple, PadSpec, batch
 
-__all__ = ["SortTaskConfig", "gen_sample", "get_batch", "sort_pad_spec"]
+__all__ = ["SortTaskConfig", "gen_sample", "get_batch", "sort_pad_spec",
+           "device_batch"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +62,103 @@ def sort_pad_spec(cfg: SortTaskConfig) -> PadSpec:
         num_edges=((max_e + 127) // 128) * 128,
         num_graphs=cfg.batch_size + 1,
     )
+
+
+def device_batch(key, cfg: SortTaskConfig,
+                 pad: Optional[PadSpec] = None,
+                 dtype=None) -> Tuple[GraphsTuple, GraphsTuple]:
+    """One (input, target) batch generated ON DEVICE — jit/scan-compatible.
+
+    Semantically identical to :func:`get_batch` (same distribution, same
+    canonical edge order, same targets as
+    ``/root/reference/examples/sort/sort.jl:12-24`` + ``helper.jl:1-12``)
+    but built entirely from ``jax.random`` + vectorized index math, so a
+    training loop can ``lax.scan`` over steps with zero host round-trips —
+    the host-side ``batch()`` path costs a dispatch per step through the
+    TPU tunnel, which dominates at this task's tiny sizes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pad = pad or sort_pad_spec(cfg)
+    B = cfg.batch_size
+    NP, EP, GP = pad.num_nodes, pad.num_edges, pad.num_graphs
+    assert GP >= B + 1 and NP >= B * cfg.max_nodes + 1
+    V, MN = cfg.vocab_size, cfg.max_nodes
+    dtype = dtype or jnp.float32
+
+    kn, kv = jax.random.split(key)
+    n = jax.random.randint(kn, (B,), cfg.min_nodes, cfg.max_nodes + 1,
+                           dtype=jnp.int32)
+    values = jax.random.randint(kv, (B, MN), 1, V + 1, dtype=jnp.int32)
+
+    node_end = jnp.cumsum(n)                        # [B]
+    node_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), node_end])
+    N = node_end[-1]
+
+    t = jnp.arange(NP, dtype=jnp.int32)
+    node_graph = jnp.searchsorted(node_end, t, side="right").astype(jnp.int32)
+    node_mask = t < N
+    ng_c = jnp.minimum(node_graph, B - 1)
+    li = t - node_off[ng_c]                         # local node index
+    val_node = values[ng_c, jnp.minimum(li, MN - 1)]
+
+    x_nf = jax.nn.one_hot(val_node - 1, V, dtype=dtype)
+    x_nf = jnp.where(node_mask[:, None], x_nf, 0)
+
+    # "is minimum" node targets (ties all count, like the reference).
+    big = V + 2
+    masked_val = jnp.where(node_mask, val_node, big)
+    graph_min = jax.ops.segment_min(masked_val, node_graph,
+                                    num_segments=GP,
+                                    indices_are_sorted=True)
+    is_min = (val_node == graph_min[node_graph]) & node_mask
+    y_nf = jax.nn.one_hot(is_min.astype(jnp.int32), 2, dtype=dtype)
+
+    # Stable sort rank within each graph: key = (graph, value, position);
+    # position breaks ties exactly like the reference's stable sort.
+    stride = (V + 2) * (MN + 1)
+    sort_key = (node_graph * stride + masked_val * (MN + 1)
+                + jnp.minimum(li, MN))
+    order = jnp.argsort(sort_key)
+    rank = jnp.argsort(order).astype(jnp.int32)     # inverse permutation
+    rank_w = rank - node_off[ng_c]                  # rank within graph
+
+    # Edges: full n_b x n_b adjacency per graph, canonical column-major
+    # order (receiver varies slowest).
+    e_end = jnp.cumsum(n * n)
+    e_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), e_end])
+    E = e_end[-1]
+    e = jnp.arange(EP, dtype=jnp.int32)
+    edge_mask = e < E
+    edge_graph = jnp.searchsorted(e_end, e, side="right").astype(jnp.int32)
+    eg_c = jnp.minimum(edge_graph, B - 1)
+    ke = e - e_off[eg_c]
+    nb = jnp.maximum(n[eg_c], 1)
+    recv_l = ke // nb
+    send_l = ke % nb
+    senders = jnp.where(edge_mask, node_off[eg_c] + send_l, N)
+    receivers = jnp.where(edge_mask, node_off[eg_c] + recv_l, N)
+
+    # Edge target: receiver directly follows sender in sorted order.
+    consecutive = (rank_w[senders] + 1 == rank_w[receivers]) & edge_mask
+    y_ef = jax.nn.one_hot(consecutive.astype(jnp.int32), 2, dtype=dtype)
+
+    gslot = jnp.arange(GP, dtype=jnp.int32)
+    n_node = jnp.where(gslot < B, n[jnp.minimum(gslot, B - 1)], 0)
+    n_edge = jnp.where(gslot < B, (n * n)[jnp.minimum(gslot, B - 1)], 0)
+    graph_mask = gslot < B
+
+    common = dict(
+        senders=senders, receivers=receivers,
+        node_graph=node_graph, edge_graph=edge_graph,
+        n_node=n_node, n_edge=n_edge,
+        node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
+        gf=None, homogeneous=False,
+    )
+    x = GraphsTuple(ef=None, nf=x_nf, **common)
+    y = GraphsTuple(ef=y_ef, nf=y_nf, **common)
+    return x, y
 
 
 def get_batch(rng: np.random.Generator, cfg: SortTaskConfig,

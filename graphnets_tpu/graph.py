@@ -62,6 +62,7 @@ __all__ = [
     "flatunpaddednf",
     "flatunpaddedef",
     "collapse_ef",
+    "collapse_ef_padded",
     "collapsef",
     "unpadded_collapsed_ef",
     "flat_unpadded_collapsed_ef",
@@ -196,15 +197,35 @@ def _adj_to_coo(adj: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return ss.astype(np.int32), rr.astype(np.int32)
 
 
-def _as_feature_list(x, B: int) -> Optional[List[np.ndarray]]:
+def _as_feature_list(x, B: int, what: str) -> Optional[List[np.ndarray]]:
     if x is None:
         return None
     if isinstance(x, (list, tuple)):
-        return [np.asarray(v) for v in x]
+        # Heterogeneous mode: per-graph 2-D arrays
+        # (/root/reference/src/checks.jl:92-129,136-160).
+        if len(x) != B:
+            raise ValueError(
+                f"{what}: expected one feature array per graph "
+                f"({B} graphs), got {len(x)}")
+        out = [np.asarray(v) for v in x]
+        for i, v in enumerate(out):
+            if v.ndim != 2:
+                raise ValueError(
+                    f"{what}[{i}]: per-graph features must be 2-D "
+                    f"[count, dim]; got shape {v.shape}")
+        widths = {v.shape[1] for v in out}
+        if len(widths) > 1:
+            raise ValueError(
+                f"{what}: inconsistent feature widths across graphs: "
+                f"{sorted(widths)}")
+        return out
     x = np.asarray(x)
-    # Homogeneous mode: [B, T, D] stacked features.
-    assert x.ndim == 3 and x.shape[0] == B, (
-        f"homogeneous features must be [B, T, D]; got {x.shape} with B={B}")
+    # Homogeneous mode: [B, T, D] stacked features
+    # (/root/reference/src/checks.jl:62-85, feature-last layout).
+    if x.ndim != 3 or x.shape[0] != B:
+        raise ValueError(
+            f"{what}: homogeneous features must be [B, T, D] with "
+            f"B={B}; got shape {x.shape}")
     return [x[i] for i in range(B)]
 
 
@@ -228,11 +249,16 @@ def batch(
     Edge features must be listed in the canonical (column-major adjacency)
     edge order, exactly as the reference requires.
     """
-    assert set(data.keys()) == {"graphs", "ef", "nf", "gf"}, (
-        "batch input must have keys {graphs, ef, nf, gf} "
-        "(/root/reference/src/batch.jl:54)")
+    if set(data.keys()) != {"graphs", "ef", "nf", "gf"}:
+        raise ValueError(
+            "batch input must be a dict with exactly the keys "
+            "{'graphs', 'ef', 'nf', 'gf'} (absent feature sets are None; "
+            f"/root/reference/src/batch.jl:54); got {sorted(data.keys())}")
     graphs, ef, nf, gf = data["graphs"], data["ef"], data["nf"], data["gf"]
-    assert ef is not None or nf is not None or gf is not None
+    if ef is None and nf is None and gf is None:
+        raise ValueError(
+            "at least one of ef/nf/gf must be present "
+            "(/root/reference/src/checks.jl)")
 
     homogeneous = not isinstance(graphs, (list, tuple))
     if homogeneous:
@@ -250,27 +276,34 @@ def batch(
         adj_mats = [np.asarray(a) for a in graphs]
         B = len(adj_mats)
 
-    ef_list = _as_feature_list(ef, B)
-    nf_list = _as_feature_list(nf, B)
+    ef_list = _as_feature_list(ef, B, "ef")
+    nf_list = _as_feature_list(nf, B, "nf")
     gf_arr = None
     if gf is not None:
         gf_arr = (np.stack([np.asarray(v) for v in gf])
                   if isinstance(gf, (list, tuple)) else np.asarray(gf))
-        assert gf_arr.shape[0] == B
+        if gf_arr.ndim != 2 or gf_arr.shape[0] != B:
+            raise ValueError(
+                f"gf: graph features must be [B, DG] with B={B} (or a "
+                f"list of B 1-D arrays); got shape {gf_arr.shape}")
 
-    # --- validation (the reference's checks.jl, condensed) -----------------
+    # --- validation (the reference's checks.jl:23-55 count checks) ---------
     for i, a in enumerate(adj_mats):
-        assert a.ndim == 2 and a.shape[0] == a.shape[1], (
-            f"adjacency {i} must be square, got {a.shape}")
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError(
+                f"graphs[{i}]: adjacency matrix must be square 2-D; got "
+                f"shape {a.shape}")
         n, e = a.shape[0], int((a == 1).sum())
-        if nf_list is not None:
-            assert nf_list[i].shape[0] == n, (
-                f"graph {i}: nf has {nf_list[i].shape[0]} rows, adjacency has "
-                f"{n} nodes")
-        if ef_list is not None:
-            assert ef_list[i].shape[0] == e, (
-                f"graph {i}: ef has {ef_list[i].shape[0]} rows, adjacency has "
-                f"{e} edges")
+        if nf_list is not None and nf_list[i].shape[0] != n:
+            raise ValueError(
+                f"graph {i}: nf has {nf_list[i].shape[0]} rows but the "
+                f"adjacency has {n} nodes "
+                "(/root/reference/src/checks.jl:23-55)")
+        if ef_list is not None and ef_list[i].shape[0] != e:
+            raise ValueError(
+                f"graph {i}: ef has {ef_list[i].shape[0]} rows but the "
+                f"adjacency has {e} edges (entries == 1; "
+                "/root/reference/src/checks.jl:43)")
 
     # --- concatenate into one big graph (native C++ fast path) -------------
     from .runtime import native
@@ -291,12 +324,19 @@ def batch(
         raise ValueError(
             "padding nodes/edges requires at least one padding graph slot "
             "(num_graphs >= B + 1) to own them")
+    if EP > E and NP == N:
+        raise ValueError(
+            "padding edges requires at least one padding node "
+            "(num_nodes >= N + 1) for them to target: padded edges "
+            "pointing at a real node would break the sorted/pad-targets-pad "
+            "invariant the aggregation kernels rely on "
+            "(use PadSpec.bucketed, which reserves one)")
 
     node_graph = np.repeat(np.arange(B, dtype=np.int32), n_node)
     edge_graph = np.repeat(np.arange(B, dtype=np.int32), n_edge)
     # Padding nodes/edges belong to the first padding graph; padded edges
-    # point at the first padding node (or node 0 if there is none — they are
-    # masked out of every aggregation regardless).
+    # point at the first padding node (enforced to exist above whenever
+    # there are padded edges) so they never alias a real segment.
     pad_node_id = N if NP > N else 0
     node_graph = np.concatenate(
         [node_graph, np.full(NP - N, B, np.int32)])
@@ -325,7 +365,7 @@ def batch(
         flat = np.concatenate([np.asarray(v, np.float32) for v in lst], axis=0)
         return jnp.asarray(_pad_rows(flat.astype(np.float32), rows))
 
-    return GraphsTuple(
+    out = GraphsTuple(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
         node_graph=jnp.asarray(node_graph),
@@ -341,6 +381,11 @@ def batch(
             if gf_arr is not None else None),
         homogeneous=homogeneous,
     )
+    from .utils.config import debug_checks
+    if debug_checks():
+        from .utils.debug import validate_graph
+        validate_graph(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -429,25 +474,37 @@ def gfview(g: GraphsTuple, d1, d2):
     return _np(g.gf)[d2, d1]
 
 
+def _real_count(mask, what: str) -> int:
+    if isinstance(mask, jax.core.Tracer):
+        raise TypeError(
+            f"flat_unpadded_{what} slices to the REAL slot count, which is "
+            "data-dependent — it cannot run under jit (the reference's "
+            "equivalent, /root/reference/src/views.jl:80-98, is its loss "
+            "path, but a jit-compatible loss should use the masked losses "
+            "in graphnets_tpu.training.losses instead; call this on "
+            "concrete arrays outside jit).")
+    return int(_np(mask).sum())
+
+
 def flat_unpadded_nf(g: GraphsTuple) -> Array:
     """All real node features as ``[sum_i N_i, DN]`` — the loss path
     (``/root/reference/src/views.jl:80-88``).
 
     In the big-graph layout real nodes are already contiguous, so this is a
-    static slice (jit-compatible, differentiable) — unlike the reference,
-    which must mask-select out of the padded layout.
+    static slice — differentiable, but host-side (NOT jit-traceable: the
+    output length is data-dependent; inside jit use the masked losses in
+    ``graphnets_tpu.training.losses``).
     """
     assert g.nf is not None
-    n_real = int(_np(g.node_mask).sum())
-    return g.nf[:n_real]
+    return g.nf[:_real_count(g.node_mask, "nf")]
 
 
 def flat_unpadded_ef(g: GraphsTuple) -> Array:
     """All real edge features as ``[sum_i E_i, DE]``
-    (``/root/reference/src/views.jl:90-98``)."""
+    (``/root/reference/src/views.jl:90-98``).  Host-side; see
+    :func:`flat_unpadded_nf` for the jit caveat."""
     assert g.ef is not None
-    e_real = int(_np(g.edge_mask).sum())
-    return g.ef[:e_real]
+    return g.ef[:_real_count(g.edge_mask, "ef")]
 
 
 # Reference-spelled aliases.
@@ -507,6 +564,40 @@ def collapse_ef(g: GraphsTuple) -> List[np.ndarray]:
         out = np.where(selfloop[:, None], f, (f + rv) / 2.0)
         outs.append(out.astype(ef.dtype))
     return outs
+
+
+def collapse_ef_padded(g: GraphsTuple) -> np.ndarray:
+    """The reference's padded ``collapsef`` variant
+    (``/root/reference/src/gngraphbatch.jl:83-85``): the FULL lower-
+    triangular slot space, padded coordinates included.
+
+    Returns ``[B, PN*(PN+1)/2, DE]`` (feature-last transpose of the
+    reference's ``(DE, PN(PN+1)/2, B)``), where ``PN`` is the max node
+    count in the batch.  Slot for lower-tri coordinate ``(i, j)`` (column-
+    major enumeration, ``getlowertriangularcoords``) holds
+    ``(ef[(i,j)] + ef[(j,i)]) / 2`` with absent directions contributing 0
+    (the reference scatters into a zeros buffer) and self-loops mapping to
+    themselves (the collapser adds slot ``(i,i)`` twice, cancelling the
+    ``/2``).  Host-side.
+    """
+    assert g.ef is not None
+    B, n_node, n_edge, node_off, edge_off = _host_meta(g)
+    s, r = _np(g.senders), _np(g.receivers)
+    ef = _np(g.ef)
+    DE = ef.shape[1]
+    PN = int(n_node.max()) if B else 0
+    dense = np.zeros((B, PN, PN, DE), ef.dtype)
+    for b in range(B):
+        es, ee = edge_off[b], edge_off[b + 1]
+        dense[b, s[es:ee] - node_off[b], r[es:ee] - node_off[b]] = ef[es:ee]
+    sym = (dense + np.swapaxes(dense, 1, 2)) / 2.0
+    # Self-loop diagonal: collapser column (i,i) has weight 2 -> value = ef.
+    ii = np.arange(PN)
+    sym[:, ii, ii] = dense[:, ii, ii]
+    # Column-major lower triangle: j outer, i in [j, PN).
+    cols = [sym[:, i, j] for j in range(PN) for i in range(j, PN)]
+    return (np.stack(cols, axis=1) if cols
+            else np.zeros((B, 0, DE), ef.dtype))
 
 
 def unpadded_collapsed_ef(g: GraphsTuple) -> List[np.ndarray]:

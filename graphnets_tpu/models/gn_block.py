@@ -134,11 +134,12 @@ def _linear_split(params, out_dtype, terms, rows):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if idx is not None:
-            # Gather in the input dtype (halves HBM traffic for bf16); the
-            # MXU already accumulated this partial in f32.  The gather's
-            # backward scatter-add runs sorted (Pallas kernel) instead of
-            # as an XLA serial scatter.
-            y = scatter.take_rows_sorted_grad(y.astype(x.dtype), idx)
+            # Gather the f32 partials directly: rounding them to bf16 here
+            # would make the split path LESS accurate than the fused concat
+            # formulation (which keeps every per-row dot in f32 end to
+            # end).  The gather's backward scatter-add runs sorted (Pallas
+            # kernel) instead of as an XLA serial scatter.
+            y = scatter.take_rows_sorted_grad(y, idx)
         acc = y.astype(jnp.float32) if acc is None \
             else acc + y.astype(jnp.float32)
     if acc is None:

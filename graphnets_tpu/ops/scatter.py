@@ -38,6 +38,49 @@ def _mask_rows(x: Array, mask: Optional[Array]) -> Array:
     return jnp.where(mask[:, None], x, jnp.zeros((), x.dtype))
 
 
+def _host_check_sorted_pad_safe(seg, mask):
+    """Raise if the sorted-pad-safe contract is violated (debug mode).
+
+    Contract (required by the mask-free Pallas kernel,
+    ``ops.pallas.segment_sum``): segment ids ascending, and padded rows
+    (mask False) target only segments no real row targets — so skipping
+    the mask cannot leak padding into real outputs.
+    """
+    import numpy as np
+    seg = np.asarray(seg)
+    if len(seg) > 1 and (np.diff(seg) < 0).any():
+        k = int(np.argmax(np.diff(seg) < 0))
+        raise ValueError(
+            "segment_sum(sorted_pad_safe=True): segment ids are not sorted "
+            f"ascending (ids[{k}]={seg[k]} > ids[{k + 1}]={seg[k + 1]}). "
+            "Sorted order is the canonical edge order produced by batch(); "
+            "pass indices_are_sorted=False / sorted_pad_safe=False for "
+            "arbitrary-order ids.")
+    if mask is not None:
+        mask = np.asarray(mask)
+        real, padded = seg[mask], seg[~mask]
+        if len(real) and len(padded) and real.max() >= padded.min():
+            raise ValueError(
+                "segment_sum(sorted_pad_safe=True): padded rows target a "
+                f"segment ({padded.min()}) that real rows also target "
+                f"(real ids go up to {real.max()}) — padding would leak "
+                "into real outputs. batch() guarantees padded edges point "
+                "at a padding node; check custom GraphsTuple construction.")
+
+
+def _check_sorted_pad_safe(seg, mask):
+    """Debug-mode contract check that works both eagerly and under jit."""
+    if isinstance(seg, jax.core.Tracer) or isinstance(mask, jax.core.Tracer):
+        args = (seg,) if mask is None else (seg, mask)
+
+        def cb(seg, mask=None):
+            _host_check_sorted_pad_safe(seg, mask)
+
+        jax.debug.callback(cb, *args)
+    else:
+        _host_check_sorted_pad_safe(seg, mask)
+
+
 @jax.custom_vjp
 def take_rows_sorted_grad(x: Array, idx: Array) -> Array:
     """``x[idx]`` whose backward scatter-add runs SORTED.
@@ -92,12 +135,17 @@ def segment_sum(x: Array, segment_ids: Array, num_segments: int,
     (graph, receiver), and node/edge->graph segment ids are sorted by
     construction.
 
-    ``sorted_pad_safe=True`` asserts the batch-layout invariant that padded
+    ``sorted_pad_safe=True`` declares the batch-layout invariant that padded
     rows target padded segments (so the mask is redundant) and the ids are
     sorted; with Pallas enabled this routes to the CSR one-hot-matmul kernel
     (``ops.pallas.segment_sum``), ~10x faster than XLA scatter-add on TPU.
+    Under ``GRAPHNETS_TPU_DEBUG=1`` the invariant is enforced (raises on
+    violation, eagerly or via ``jax.debug.callback`` under jit); otherwise
+    violating it silently corrupts the Pallas path's output.
     """
-    from ..utils.config import use_pallas
+    from ..utils.config import use_pallas, debug_checks
+    if sorted_pad_safe and debug_checks():
+        _check_sorted_pad_safe(segment_ids, mask)
     if sorted_pad_safe and use_pallas() and num_segments > 64:
         from .pallas.segment_sum import (sorted_segment_sum,
                                          supports_sorted_segment_sum)

@@ -21,7 +21,7 @@ from ..graph import GraphsTuple
 Array = jax.Array
 
 __all__ = ["masked_logit_crossentropy", "sort_task_loss",
-           "graph_loss_nf_ef", "masked_accuracy"]
+           "graph_loss_nf_ef", "masked_accuracy", "graph_accuracy"]
 
 
 def masked_logit_crossentropy(logits: Array, targets: Array,
@@ -46,6 +46,26 @@ def graph_loss_nf_ef(pred: GraphsTuple, target: GraphsTuple) -> Array:
 
 
 sort_task_loss = graph_loss_nf_ef
+
+
+def graph_accuracy(pred: GraphsTuple, target: GraphsTuple) -> Array:
+    """Fraction of real graphs whose EVERY real node and edge prediction is
+    correct — the task-level accuracy the flagship sort run reports."""
+    G = pred.num_graph_slots
+
+    def per_graph_all_correct(logits, targets, mask, seg):
+        ok = (jnp.argmax(logits, -1) == jnp.argmax(targets, -1)) | ~mask
+        return jax.ops.segment_min(ok.astype(jnp.int32), seg,
+                                   num_segments=G,
+                                   indices_are_sorted=True)
+
+    g_ok = per_graph_all_correct(pred.nf, target.nf, pred.node_mask,
+                                 pred.node_graph)
+    g_ok = g_ok * per_graph_all_correct(pred.ef, target.ef, pred.edge_mask,
+                                        pred.edge_graph)
+    gm = pred.graph_mask.astype(jnp.float32)
+    return jnp.sum(g_ok.astype(jnp.float32) * gm) / jnp.maximum(
+        jnp.sum(gm), 1.0)
 
 
 def masked_accuracy(logits: Array, targets: Array, mask: Array) -> Array:

@@ -26,6 +26,12 @@ class Config:
     # cotangent rows once, reduce with the sorted-segment-sum kernel)
     # instead of XLA's serial scatter.
     sorted_scatter_grad: bool = True
+    # Debug-mode invariant checks (GRAPHNETS_TPU_DEBUG=1): structural
+    # validation in batch(), and sortedness / pad-targets-pad enforcement
+    # in segment_sum(sorted_pad_safe=True) — the precondition the Pallas
+    # kernel's mask-free design depends on.  Violations raise instead of
+    # silently corrupting results.
+    debug_checks: bool = False
 
 
 _config = Config(
@@ -33,6 +39,7 @@ _config = Config(
     pallas_interpret=os.environ.get("GRAPHNETS_TPU_PALLAS_INTERPRET",
                                     "0") == "1",
     split_linear=os.environ.get("GRAPHNETS_TPU_SPLIT_LINEAR", "1") == "1",
+    debug_checks=os.environ.get("GRAPHNETS_TPU_DEBUG", "0") == "1",
 )
 
 # Default: off.  Measured on v5e, the 3-core stack at D=384 is FLOP-bound and
@@ -58,3 +65,11 @@ def enable_pallas(flag: bool = True, interpret: Optional[bool] = None):
     _config.use_pallas = flag
     if interpret is not None:
         _config.pallas_interpret = interpret
+
+
+def debug_checks() -> bool:
+    return _config.debug_checks
+
+
+def enable_debug_checks(flag: bool = True):
+    _config.debug_checks = flag

@@ -178,3 +178,31 @@ def test_adjacency_reconstruction():
     mats = gn.adjacency_matrices(g)
     assert np.array_equal(mats[0], ADJ1)
     assert np.array_equal(mats[1], ADJ2)
+
+
+def test_edge2node_aggregation_golden():
+    """Golden from the reference's commented-out "edge2nodebroadcaster"
+    testset (``/root/reference/test/runtests.jl:654-683``): the explicit
+    expected broadcaster matrices define exactly which canonical-order
+    edges aggregate into which node.  Here: aggregate one-hot edge ids and
+    check the incidence pattern matches those matrices."""
+    import jax.numpy as jnp
+    from graphnets_tpu.ops import scatter
+
+    g = gn.batch({"graphs": [ADJ_G1, ADJ_G2], "ef": None,
+                  "nf": [np.eye(3, 2, dtype=np.float32)] * 2, "gf": None})
+    E = g.num_edge_slots
+    ef = jnp.eye(E, dtype=jnp.float32)  # edge k -> one-hot row k
+    agg = np.asarray(scatter.aggregate_edges_for_nodes(
+        ef, g.receivers, g.num_node_slots, g.edge_mask))
+    # From expected_1 (dense slots 1,2 -> node0; 5 -> node1; 7,9 -> node2)
+    # and expected_2 (slot 3 -> node0; 4,6 -> node1; 8 -> node2), mapped to
+    # canonical edge indices 0..8 of the batched COO layout:
+    want = np.zeros((6, E), np.float32)
+    want[0, [0, 1]] = 1   # graph1 node0 <- edges (0,0),(1,0)
+    want[1, 2] = 1        # graph1 node1 <- edge (1,1)
+    want[2, [3, 4]] = 1   # graph1 node2 <- edges (0,2),(2,2)
+    want[3, 5] = 1        # graph2 node0 <- edge (2,0)
+    want[4, [6, 7]] = 1   # graph2 node1 <- edges (0,1),(2,1)
+    want[5, 8] = 1        # graph2 node2 <- edge (1,2)
+    np.testing.assert_array_equal(agg[:6], want)

@@ -49,7 +49,18 @@ def test_roundtrip_undirected_and_uncompressed(tmp_path):
     senders, receivers, *_ = make_fixture(tmp_path, compress=False)
     ds = load_ogb_node_dataset(str(tmp_path), "ogbn-tiny",
                                make_undirected=True)
-    assert ds.num_edges == 2 * len(senders)
+    # make_undirected coalesces like OGB's to_undirected: reverse edges
+    # added, then duplicate (src, dst) pairs removed — so reciprocal raw
+    # pairs and repeated rows don't inflate multiplicity.
+    both = np.stack([np.concatenate([senders, receivers]),
+                     np.concatenate([receivers, senders])], axis=1)
+    assert ds.num_edges == len(np.unique(both, axis=0))
+    # every edge has its reverse present
+    pairs = set()
+    for v in range(ds.num_nodes):
+        for s in ds.graph.src[ds.graph.indptr[v]: ds.graph.indptr[v + 1]]:
+            pairs.add((int(s), v))
+    assert all((d, s) in pairs for (s, d) in pairs)
 
 
 def test_missing_dataset_error(tmp_path):
