@@ -42,7 +42,8 @@ from ..nn.core import Linear
 from ..ops import scatter
 
 __all__ = ["partition_edges", "PartitionedGraph", "gn_block_partitioned",
-           "gn_block_partitioned_overlap", "gather_remote_node_features"]
+           "gn_block_partitioned_overlap", "gather_remote_node_features",
+           "block_local_v3"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -377,6 +378,76 @@ def gn_block_partitioned_halo(block: GNBlock, params, pg: PartitionedGraph,
 # ---------------------------------------------------------------------------
 
 
+def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
+                   nf, ef, gf, axis: str):
+    """Per-shard GNBlock body with v3 (transform-before-exchange) halo.
+
+    Runs INSIDE ``shard_map``: all array arguments are this shard's slices
+    without a leading shard axis (``ef``/``gf`` may be None or zero-width).
+    Returns ``(h_ef, h_nf, h_gf)`` with ``h_gf`` replicated across shards
+    (it is computed from psum'd pools, identically everywhere).  This is the
+    building block for partitioned GNCores and full stacks — semantics equal
+    to the unpartitioned GNBlock on real slots.
+    """
+    _, nodefn, graphfn = block._nets()
+    de, dn, dg = block.in_dims
+    de_o = block.out_dims[0]
+    assert dn > 0, "transform-before-exchange needs node features"
+    Epad, Npad = rl.shape[0], nf.shape[0]
+    ef = ef if ef is not None else jnp.zeros((Epad, 0), nf.dtype)
+    gf = gf if gf is not None else jnp.zeros((1, 0), nf.dtype)
+    S, H = send_idx.shape[0], send_idx.shape[1]
+
+    w = params["edgefn"]["w"]
+    b = params["edgefn"].get("b")
+    w_ef = jax.lax.slice_in_dim(w, 0, de, axis=0)
+    w_src = jax.lax.slice_in_dim(w, de, de + dn, axis=0)
+    w_dst = jax.lax.slice_in_dim(w, de + dn, de + 2 * dn, axis=0)
+    w_g = jax.lax.slice_in_dim(w, de + 2 * dn, de + 2 * dn + dg, axis=0)
+
+    def dot32(x, ws):
+        return jax.lax.dot_general(
+            x, ws.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # -- sender term: transform locally, exchange transformed rows ------
+    t_src = dot32(nf, w_src).astype(nf.dtype)          # [Npad, DE']
+    outgoing = jnp.take(t_src, send_idx.reshape(-1), axis=0,
+                        mode="clip").reshape(S, H, de_o)
+    halo = jax.lax.all_to_all(outgoing, axis, split_axis=0,
+                              concat_axis=0, tiled=False)
+    table = jnp.concatenate([t_src, halo.reshape(S * H, de_o)], axis=0)
+
+    # -- local terms (independent of the collective: overlap) -----------
+    acc = jnp.take(table, sender_pos, axis=0,
+                   mode="clip").astype(jnp.float32)
+    if de > 0:
+        acc = acc + dot32(ef, w_ef)
+    acc = acc + jnp.take(dot32(nf, w_dst).astype(nf.dtype), rl, axis=0,
+                         mode="clip")
+    if dg > 0:
+        acc = acc + dot32(gf, w_g)[0]                  # broadcast [DE']
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    h_ef = acc.astype(nf.dtype)
+
+    # -- node update: local segment_sum (edges live with receivers) -----
+    agg = scatter.segment_sum(h_ef, rl, Npad, em,
+                              indices_are_sorted=False)
+    g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
+    h_nf = nodefn.apply(params["nodefn"],
+                        jnp.concatenate([agg, nf, g2n], -1))
+
+    # -- global update: partial pools + psum, replicated compute --------
+    e_pool = jnp.sum(jnp.where(em[:, None], h_ef, 0.0), axis=0)
+    n_pool = jnp.sum(jnp.where(nm[:, None], h_nf, 0.0), axis=0)
+    pools = jax.lax.psum(jnp.concatenate([e_pool, n_pool]), axis)
+    h_gf = graphfn.apply(params["graphfn"],
+                         jnp.concatenate([pools, gf[0]])[None, :])
+    return h_ef, h_nf, h_gf
+
+
 def gn_block_partitioned_overlap(block: GNBlock, params,
                                  pg: PartitionedGraph, plan: HaloPlan,
                                  mesh: Mesh, axis: str = "graph"
@@ -397,69 +468,16 @@ def gn_block_partitioned_overlap(block: GNBlock, params,
 
     Same semantics as v1/v2 (verified in tests); partial terms accumulate in
     f32 exactly like the single-device split path
-    (``models.gn_block._linear_split``).
+    (``models.gn_block._linear_split``).  The per-shard body is
+    :func:`block_local_v3` (shared with the partitioned stack/training path,
+    ``edge_partition_stack.py``).
     """
-    _, nodefn, graphfn = block._nets()
-    de, dn, dg = block.in_dims
-    de_o = block.out_dims[0]
-    assert dn > 0, "transform-before-exchange needs node features"
 
     def local(params, send_idx, send_mask, sender_pos, rl, em, nm, nf, ef,
               gf):
-        send_idx, sender_pos = send_idx[0], sender_pos[0]
-        rl, em, nm, nf = rl[0], em[0], nm[0], nf[0]
-        ef = ef[0] if ef is not None else None
-        Epad, Npad = rl.shape[0], nf.shape[0]
-        gf = gf if gf is not None else jnp.zeros((1, 0), nf.dtype)
-        S, H = send_idx.shape[0], send_idx.shape[1]
-
-        w = params["edgefn"]["w"]
-        b = params["edgefn"].get("b")
-        w_ef = jax.lax.slice_in_dim(w, 0, de, axis=0)
-        w_src = jax.lax.slice_in_dim(w, de, de + dn, axis=0)
-        w_dst = jax.lax.slice_in_dim(w, de + dn, de + 2 * dn, axis=0)
-        w_g = jax.lax.slice_in_dim(w, de + 2 * dn, de + 2 * dn + dg, axis=0)
-
-        def dot32(x, ws):
-            return jax.lax.dot_general(
-                x, ws.astype(x.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        # -- sender term: transform locally, exchange transformed rows ------
-        t_src = dot32(nf, w_src).astype(nf.dtype)          # [Npad, DE']
-        outgoing = jnp.take(t_src, send_idx.reshape(-1), axis=0,
-                            mode="clip").reshape(S, H, de_o)
-        halo = jax.lax.all_to_all(outgoing, axis, split_axis=0,
-                                  concat_axis=0, tiled=False)
-        table = jnp.concatenate([t_src, halo.reshape(S * H, de_o)], axis=0)
-
-        # -- local terms (independent of the collective: overlap) -----------
-        acc = jnp.take(table, sender_pos, axis=0,
-                       mode="clip").astype(jnp.float32)
-        if de > 0:
-            acc = acc + dot32(ef, w_ef)
-        acc = acc + jnp.take(dot32(nf, w_dst).astype(nf.dtype), rl, axis=0,
-                             mode="clip")
-        if dg > 0:
-            acc = acc + dot32(gf, w_g)[0]                  # broadcast [DE']
-        if b is not None:
-            acc = acc + b.astype(jnp.float32)
-        h_ef = acc.astype(nf.dtype)
-
-        # -- node update: local segment_sum ---------------------------------
-        agg = scatter.segment_sum(h_ef, rl, Npad, em,
-                                  indices_are_sorted=False)
-        g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
-        h_nf = nodefn.apply(params["nodefn"],
-                            jnp.concatenate([agg, nf, g2n], -1))
-
-        # -- global update ---------------------------------------------------
-        e_pool = jnp.sum(jnp.where(em[:, None], h_ef, 0.0), axis=0)
-        n_pool = jnp.sum(jnp.where(nm[:, None], h_nf, 0.0), axis=0)
-        pools = jax.lax.psum(jnp.concatenate([e_pool, n_pool]), axis)
-        h_gf = graphfn.apply(params["graphfn"],
-                             jnp.concatenate([pools, gf[0]])[None, :])
+        h_ef, h_nf, h_gf = block_local_v3(
+            block, params, send_idx[0], sender_pos[0], rl[0], em[0], nm[0],
+            nf[0], ef[0] if ef is not None else None, gf, axis)
         return h_ef[None], h_nf[None], h_gf
 
     shard = P(axis)

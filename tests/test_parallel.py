@@ -459,3 +459,171 @@ def test_mincut_partition_reduces_cut_and_matches(cpu_devices):
     nf_out = np.asarray(out.nf).reshape(S * npad, -1)
     np.testing.assert_allclose(nf_out[new_of_old], np.asarray(y.nf),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_partitioned_stack_forward_matches_single_device(cpu_devices):
+    """Full EncodeProcessDecode (encoder GNBlock + 2 GNCores + decoder) over
+    an edge-partitioned graph == the unpartitioned model on real slots."""
+    from graphnets_tpu.parallel.edge_partition import (build_halo_plan,
+                                                       partition_edges)
+    from graphnets_tpu.parallel.edge_partition_stack import (
+        encode_process_decode_partitioned)
+    S = 4
+    mesh = _mesh(cpu_devices, S, names=("graph",))
+    rng = np.random.default_rng(41)
+    N, deg, vocab = 48, 3, 12
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, vocab)).astype(np.float32)
+
+    model = EncodeProcessDecode(x_dims=(0, vocab, 0), core_dims=(16, 16, 16),
+                                y_dims=(2, 2, 0), n_cores=2)
+    params = model.init(jax.random.PRNGKey(42))
+
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=None, nf=jnp.asarray(nf), gf=None)
+    y_ref = model.apply(params, g)
+
+    pg = partition_edges(senders, receivers, nf, num_shards=S,
+                         edge_pad_multiple=8)
+    plan = build_halo_plan(pg)
+    out = encode_process_decode_partitioned(model, params, pg, plan, mesh)
+
+    npad = pg.nodes_per_shard
+    nm = np.asarray(pg.node_mask).reshape(-1)
+    nf_out = np.asarray(out.nf).reshape(S * npad, -1)
+    np.testing.assert_allclose(nf_out[nm], np.asarray(y_ref.nf),
+                               rtol=2e-4, atol=2e-5)
+    # edges: shard s holds (in order) the reference rows whose receiver it
+    # owns
+    owner = np.minimum(receivers // npad, S - 1)
+    ef_ref = np.asarray(y_ref.ef)
+    ef_out = np.asarray(out.ef)
+    for s in range(S):
+        sel = np.where(owner == s)[0]
+        np.testing.assert_allclose(ef_out[s, :len(sel)], ef_ref[sel],
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_partitioned_stack_training_matches_single_device(cpu_devices):
+    """Edge-partitioned train step (loss + grads through the halo/psum
+    collectives + AdamW) == the single-device train step: params equal after
+    3 steps on the same data."""
+    import optax
+
+    from graphnets_tpu.parallel.edge_partition import (build_halo_plan,
+                                                       partition_edges)
+    from graphnets_tpu.parallel.edge_partition_stack import (
+        make_partitioned_train_step)
+    from graphnets_tpu.training.losses import graph_loss_nf_ef
+
+    S = 4
+    mesh = _mesh(cpu_devices, S, names=("graph",))
+    rng = np.random.default_rng(43)
+    N, deg, vocab = 32, 3, 8
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, vocab)).astype(np.float32)
+    y_nf = np.eye(2, dtype=np.float32)[rng.integers(0, 2, N)]
+    y_ef = np.eye(2, dtype=np.float32)[rng.integers(0, 2, E)]
+
+    model = EncodeProcessDecode(x_dims=(0, vocab, 0), core_dims=(8, 8, 8),
+                                y_dims=(2, 2, 0), n_cores=2)
+    optimizer = optax.adamw(1e-3)
+
+    # --- single-device reference -----------------------------------------
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=None, nf=jnp.asarray(nf), gf=None)
+    y = g.with_features(ef=jnp.asarray(y_ef), nf=jnp.asarray(y_nf), gf=None)
+
+    state_ref = TrainState.create(model, optimizer, jax.random.PRNGKey(44))
+    step_ref = make_train_step(model, optimizer, loss_fn=graph_loss_nf_ef)
+    losses_ref = []
+    for _ in range(3):
+        state_ref, m = step_ref(state_ref, g, y)
+        losses_ref.append(float(m["loss"]))
+
+    # --- partitioned path --------------------------------------------------
+    pg = partition_edges(senders, receivers, nf, num_shards=S,
+                         edge_pad_multiple=8)
+    # same partitioner on the TARGETS gives the shard-stacked y layout
+    pg_y = partition_edges(senders, receivers, y_nf, num_shards=S,
+                           ef=y_ef, edge_pad_multiple=8)
+    plan = build_halo_plan(pg)
+
+    state_p = TrainState.create(model, optimizer, jax.random.PRNGKey(44))
+    step_p = jax.jit(make_partitioned_train_step(model, optimizer, plan,
+                                                 mesh))
+    losses_p = []
+    for _ in range(3):
+        state_p, m = step_p(state_p, pg, pg_y.nf, pg_y.ef)
+        losses_p.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_p, losses_ref, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_p.params),
+                    jax.tree_util.tree_leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_gradient_equality(cpu_devices):
+    """Pipeline gradients == sequential-stack gradients (same stacked param
+    layout), with a microbatch count that is NOT a multiple of the stage
+    count (M=5, S=2)."""
+    from graphnets_tpu.parallel.pipeline import PipelinedCoreList
+    S, M = 2, 5
+    mesh = _mesh(cpu_devices, S, names=("pipe",))
+    dims = (4, 4, 4)
+    pipe = PipelinedCoreList(tuple(gn.GNCore(dims) for _ in range(S)),
+                             num_stages=S)
+    params = pipe.init(jax.random.PRNGKey(53))
+    rng = np.random.default_rng(54)
+    micros = []
+    for _ in range(M):
+        adjs = [np.ones((3, 3), int), np.ones((2, 2), int)]
+        micros.append(gn.batch({
+            "graphs": adjs,
+            "ef": [rng.normal(size=(9, 4)).astype(np.float32),
+                   rng.normal(size=(4, 4)).astype(np.float32)],
+            "nf": [rng.normal(size=(3, 4)).astype(np.float32),
+                   rng.normal(size=(2, 4)).astype(np.float32)],
+            "gf": rng.normal(size=(2, 4)).astype(np.float32),
+        }, pad=gn.PadSpec(8, 16, 3)))
+    stacked = stack_shards(micros)
+
+    def loss_pipe(p):
+        out = pipe.apply(p, stacked, mesh)
+        return (jnp.sum(out.nf ** 2) + jnp.sum(out.ef ** 2)
+                + jnp.sum(out.gf ** 2))
+
+    def loss_seq(p):
+        total = 0.0
+        for m in range(M):
+            g = jax.tree_util.tree_map(lambda x: x[m], stacked)
+            for s in range(S):
+                sp = jax.tree_util.tree_map(lambda x: x[s], p)
+                g = gn.GNCore(dims).apply(sp["0"], g)
+            total += (jnp.sum(g.nf ** 2) + jnp.sum(g.ef ** 2)
+                      + jnp.sum(g.gf ** 2))
+        return total
+
+    g_pipe = jax.grad(loss_pipe)(params)
+    g_seq = jax.grad(loss_seq)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pipe),
+                    jax.tree_util.tree_leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

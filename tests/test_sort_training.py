@@ -58,3 +58,36 @@ def test_sort_evaluate():
     acc = sort_accuracy(res.model, res.state.params, cfg, num_batches=5)
     assert 0.0 <= acc["graph_acc"] <= 1.0
     assert acc["node_acc"] > 0.6
+
+
+def test_sort_graph_acc_floor_device_loop():
+    """CI-budget regression gate for the flagship recipe: 1500 device-side
+    steps at reduced dims must clear a graph-accuracy floor on fresh eval
+    data (the 20k-step full recipe reaches graph_acc 0.78 / node_acc 1.00 /
+    edge_acc 0.99 — benchmarks/flagship_f32.json)."""
+    from graphnets_tpu.training.train import evaluate_sort, train_sort_device
+    cfg = SortTaskConfig(vocab_size=16, min_nodes=2, max_nodes=5,
+                         batch_size=8)
+    res = train_sort_device(steps=1500, cfg=cfg, core_dims=(48, 48, 48),
+                            n_cores=1, learning_rate=3e-3, seed=0, chunk=250)
+    ev = evaluate_sort(res.model, res.state.params, cfg, n_batches=16)
+    assert ev["node_acc"] > 0.9, ev
+    assert ev["edge_acc"] > 0.85, ev
+    assert ev["graph_acc"] > 0.3, ev
+
+
+def test_sort_learns_bf16_end_to_end():
+    """bf16-compute training (f32 params) learns the task end to end —
+    accuracy floor on fresh eval data, not just finite loss."""
+    import jax.numpy as jnp
+
+    from graphnets_tpu.training.train import evaluate_sort, train_sort_device
+    cfg = SortTaskConfig(vocab_size=12, min_nodes=2, max_nodes=5,
+                         batch_size=8)
+    res = train_sort_device(steps=600, cfg=cfg, core_dims=(32, 32, 32),
+                            n_cores=1, learning_rate=3e-3, seed=0, chunk=200,
+                            dtype=jnp.bfloat16)
+    ev = evaluate_sort(res.model, res.state.params, cfg, n_batches=16,
+                       dtype=jnp.bfloat16)
+    assert ev["node_acc"] > 0.85, ev
+    assert ev["edge_acc"] > 0.8, ev
