@@ -73,6 +73,7 @@ def build_graphs(seed=0):
         graph_mask=jnp.ones((B,), bool),
         ef=jnp.asarray(ef, DTYPE), nf=jnp.asarray(nf, DTYPE),
         gf=jnp.asarray(gf, DTYPE),
+        slot_shape=(N, E),  # uniform layout: unlocks the fused SDDMM kernel
     )
     return g, (sg, rg, ef, nf, gf)
 

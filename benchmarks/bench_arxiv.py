@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""ogbn-arxiv-shaped benchmark (BASELINE config 4's standing number).
+
+No network egress in this environment, so the graph is synthetic but
+arxiv-shaped: 169,343 nodes, ~1.17M directed edges (power-law-ish in-degree
+via preferential attachment on a shuffled node order), 128-d features, 40
+classes.  The measured pipeline is exactly what a real OGB run uses
+(``load_ogb_node_dataset`` feeds the same ``LargeGraph`` + sampler +
+training step; ``tests/test_ogb.py`` covers the loader itself):
+
+  fixed-fanout neighbor sampling (native kernel) -> EncodeProcessDecode
+  (2 cores, hidden 256) -> masked CE on seed nodes -> Adam.
+
+Reports sampler throughput (host), train-step device time (honest in-jit
+scan harness), end-to-end steps/s, and seed-nodes/s.
+"""
+
+import sys, time
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from graphnets_tpu.data.large_graph import LargeGraph, NeighborSampler
+from graphnets_tpu.models.encode_process_decode import EncodeProcessDecode
+from graphnets_tpu.training.losses import masked_logit_crossentropy
+from graphnets_tpu.utils.config import enable_pallas
+from graphnets_tpu.utils.warmup import enable_compilation_cache
+
+enable_compilation_cache()
+enable_pallas(True)
+
+N, E_TARGET, D_FEAT, N_CLASSES = 169_343, 1_166_243, 128, 40
+HIDDEN, N_CORES = 256, 2
+FANOUTS, BATCH = (10, 10), 512
+DTYPE = jnp.bfloat16
+
+
+def make_arxiv_shaped(seed=0):
+    rng = np.random.default_rng(seed)
+    # Preferential-attachment-ish receivers: sample targets from a
+    # power-law over node ranks, then shuffle ranks so degree is not
+    # correlated with node id (as in a real citation graph).
+    ranks = rng.permutation(N)
+    p = 1.0 / (np.arange(N) + 10.0)
+    p /= p.sum()
+    receivers = ranks[rng.choice(N, size=E_TARGET, p=p)]
+    senders = rng.integers(0, N, size=E_TARGET)
+    labels = rng.integers(0, N_CLASSES, size=N)
+    feat = rng.normal(size=(N, D_FEAT)).astype(np.float32)
+    feat[:, :N_CLASSES] += 2.0 * np.eye(N_CLASSES, dtype=np.float32)[labels]
+    return LargeGraph.from_coo(senders, receivers, feat,
+                               labels.astype(np.int64))
+
+
+def main():
+    t0 = time.perf_counter()
+    g = make_arxiv_shaped()
+    print(f"# graph build: {time.perf_counter()-t0:.1f}s  "
+          f"N={g.num_nodes} E={g.num_edges}", file=sys.stderr)
+
+    sampler = NeighborSampler(g, fanouts=FANOUTS, batch_size=BATCH, seed=1)
+    model = EncodeProcessDecode((0, D_FEAT, 0), (HIDDEN, HIDDEN, HIDDEN),
+                                (1, N_CLASSES, 0), n_cores=N_CORES)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def cast_g(gt):
+        return gt.with_features(
+            ef=gt.ef.astype(DTYPE) if gt.ef is not None else None,
+            nf=gt.nf.astype(DTYPE) if gt.nf is not None else None,
+            gf=gt.gf.astype(DTYPE) if gt.gf is not None else None)
+
+    @jax.jit
+    def step(params, opt_state, graph, labels, label_mask, seed_idx):
+        def loss_fn(p):
+            pred = model.apply(p, graph, training=True)
+            logits = pred.nf[seed_idx]
+            onehot = jax.nn.one_hot(labels, N_CLASSES)
+            return masked_logit_crossentropy(logits, onehot, label_mask)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # -- sampler throughput (host side) ------------------------------------
+    train_nodes = np.arange(g.num_nodes)
+    batches = []
+    t0 = time.perf_counter()
+    it = sampler.epoch(train_nodes)
+    for _ in range(24):
+        b = next(it)
+        batches.append(b)
+    t_sample = (time.perf_counter() - t0) / len(batches)
+    print(f"# sampler: {t_sample*1e3:.1f} ms/batch  "
+          f"{BATCH/t_sample:.0f} seeds/s  (subgraph: "
+          f"{batches[0].graph.num_node_slots} nodes, "
+          f"{batches[0].graph.num_edge_slots} edge slots)", file=sys.stderr)
+
+    # -- device step time (honest harness: scan over preloaded batches) ----
+    b0 = batches[0]
+    graph0 = cast_g(b0.graph)
+
+    def carry_step(carry):
+        params, opt_state = carry
+        params, opt_state, _ = _step_core(params, opt_state)
+        return (params, opt_state)
+
+    def _step_core(params, opt_state):
+        return step(params, opt_state, graph0, b0.labels, b0.label_mask,
+                    b0.seed_local_idx)
+
+    from bench import time_iterated
+    t_step = time_iterated(carry_step, (params, opt_state), l1=3, l2=24)
+    print(f"# device train step: {t_step*1e3:.2f} ms", file=sys.stderr)
+
+    # -- end-to-end (sampling overlapped with device steps) ----------------
+    it = sampler.epoch(train_nodes)
+    n_e2e = 20
+    # warm
+    b = next(it)
+    params, opt_state, loss = step(params, opt_state, cast_g(b.graph),
+                                   b.labels, b.label_mask, b.seed_local_idx)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_e2e):
+        b = next(it)
+        params, opt_state, last = step(
+            params, opt_state, cast_g(b.graph), b.labels, b.label_mask,
+            b.seed_local_idx)
+    _ = float(last)  # forces completion through the tunnel
+    t_e2e = (time.perf_counter() - t0) / n_e2e
+    print(f"# e2e: {t_e2e*1e3:.1f} ms/step  {BATCH/t_e2e:.0f} seeds/s  "
+          f"loss={float(last):.3f}", file=sys.stderr)
+
+    import json
+    print(json.dumps({
+        "metric": "arxiv_shaped_seed_nodes_per_s",
+        "sampler_ms_per_batch": t_sample * 1e3,
+        "device_step_ms": t_step * 1e3,
+        "e2e_ms_per_step": t_e2e * 1e3,
+        "value": BATCH / t_e2e,
+        "unit": "seeds/s",
+    }))
+
+
+if __name__ == "__main__":
+    main()

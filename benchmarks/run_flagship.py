@@ -61,6 +61,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20_000)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--lr-schedule", choices=["const", "cosine"],
+                    default="const",
+                    help="const = the reference recipe's fixed 3e-4; "
+                    "cosine = warmup 500 + cosine decay to 1e-5 (the "
+                    "TUNED run — the reference publishes no accuracy, so "
+                    "the tuned number is our recorded ceiling)")
     ap.add_argument("--chunk", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt", type=str, default=None)
@@ -73,10 +79,16 @@ def main():
                          batch_size=4)
 
     logger = MetricLogger(jsonl_path="/tmp/flagship_metrics.jsonl")
+    if args.lr_schedule == "cosine":
+        import optax
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, 3e-4, 500, args.steps, end_value=1e-5)
+    else:
+        lr = 3e-4
     t0 = time.time()
     res = train_sort_device(
         steps=args.steps, cfg=cfg, core_dims=(384, 384, 384), n_cores=2,
-        learning_rate=3e-4, seed=args.seed, chunk=args.chunk, dtype=dtype,
+        learning_rate=lr, seed=args.seed, chunk=args.chunk, dtype=dtype,
         log_fn=logger.write)
     wall = time.time() - t0
 
@@ -107,6 +119,7 @@ def main():
             json.dump({
                 "recipe": {"steps": args.steps, "dims": [384, 384, 384],
                            "n_cores": 2, "batch_size": 4, "lr": 3e-4,
+                           "lr_schedule": args.lr_schedule,
                            "vocab": 100, "dtype": args.dtype,
                            "seed": args.seed},
                 "wall_seconds": wall,

@@ -122,6 +122,13 @@ class GraphsTuple:
     single shared adjacency matrix (the reference's "same structure" mode,
     ``/root/reference/src/batch.jl:66``); it only affects ``unbatch`` output
     shape, never compiled computation (at most two compile variants).
+
+    ``slot_shape`` is optional static metadata ``(n_slots, e_slots)``
+    declaring a UNIFORM slot layout: graph slot ``b`` owns node slots
+    ``[b*n_slots, (b+1)*n_slots)`` and edge slots ``[b*e_slots,
+    (b+1)*e_slots)`` for EVERY graph slot.  ``batch()`` sets it for exact
+    homogeneous batches; it unlocks the fused SDDMM edge-update kernel
+    (``ops.pallas.edge_update``).  ``None`` = no uniformity claim.
     """
 
     senders: Array
@@ -137,6 +144,7 @@ class GraphsTuple:
     nf: Optional[Array] = None
     gf: Optional[Array] = None
     homogeneous: bool = False
+    slot_shape: Optional[Tuple[int, int]] = None
 
     # -- pytree protocol ----------------------------------------------------
     _children = (
@@ -146,11 +154,12 @@ class GraphsTuple:
     )
 
     def tree_flatten(self):
-        return tuple(getattr(self, k) for k in self._children), (self.homogeneous,)
+        return (tuple(getattr(self, k) for k in self._children),
+                (self.homogeneous, self.slot_shape))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, homogeneous=aux[0])
+        return cls(*children, homogeneous=aux[0], slot_shape=aux[1])
 
     # -- derived sizes ------------------------------------------------------
     @property
@@ -380,6 +389,11 @@ def batch(
         gf=(jnp.asarray(_pad_rows(np.asarray(gf_arr, np.float32), GP))
             if gf_arr is not None else None),
         homogeneous=homogeneous,
+        # Exact homogeneous batches (no padding slots) have a uniform slot
+        # layout: every graph owns the same number of node/edge slots.
+        slot_shape=((int(n_node[0]), int(n_edge[0]))
+                    if (homogeneous and GP == B and NP == N and EP == E
+                        and B > 0) else None),
     )
     from .utils.config import debug_checks
     if debug_checks():

@@ -67,7 +67,7 @@ def get_edge_fn_input(g: GraphsTuple, ef=..., nf=..., gf=...) -> Array:
     parts = [ef]
     if nf is not None:
         parts.append(scatter.gather_nodes(nf, g.senders))
-        parts.append(scatter.gather_nodes(nf, g.receivers))
+        parts.append(scatter.gather_nodes(nf, g.receivers, idx_sorted=True))
     if gf is not None:
         parts.append(scatter.broadcast_globals_to_edges(gf, g.edge_graph))
     return _concat(parts)
@@ -111,24 +111,37 @@ def get_graph_fn_input(g: GraphsTuple, ef=..., nf=..., gf=...) -> Array:
 def _linear_split(params, out_dtype, terms, rows):
     """``concat(xs, -1) @ W + b`` computed as a sum of per-segment matmuls.
 
-    ``terms`` is a sequence of ``(x, idx)``: each ``x`` consumes the next
-    ``x.shape[-1]`` rows of ``W``; when ``idx`` is not None the partial
-    product's rows are gathered by ``idx`` after the matmul
-    (gather-after-transform).  Each per-row dot product is identical to the
-    fused concat formulation; partial terms accumulate in f32, so this is at
-    least as accurate.  Replaces the reference's input-assembly + Dense pair
-    (``/root/reference/src/edgefninput.jl`` + ``src/gnblock.jl:56``) without
-    ever materializing the ``[E, DE + 2 DN + DG]`` concat.
+    ``terms`` is a sequence of ``(x, idx)`` or ``(x, idx, ln_params)``: each
+    ``x`` consumes the next ``x.shape[-1]`` rows of ``W``; when ``idx`` is
+    not None the partial product's rows are gathered by ``idx`` after the
+    matmul (gather-after-transform).  When ``ln_params`` is present the term
+    is ``LayerNorm(x) @ W_slice`` computed by the fused Pallas ``ln_matmul``
+    kernel (the GNCore's pre-block edge LN fused into the edge update —
+    saves a full ``[E, D]`` HBM round trip).  Each per-row dot product is
+    identical to the fused concat formulation; partial terms accumulate in
+    f32, so this is at least as accurate.  Replaces the reference's
+    input-assembly + Dense pair (``/root/reference/src/edgefninput.jl`` +
+    ``src/gnblock.jl:56``) without ever materializing the
+    ``[E, DE + 2 DN + DG]`` concat.
     """
     w, b = params["w"], params.get("b")
     acc = None
     off = 0
-    for x, idx in terms:
+    ln_term = None  # (x, ln_params, w_slice) — completed last, fused
+    for term in terms:
+        x, idx = term[0], term[1]
+        ln_params = term[2] if len(term) > 2 else None
+        idx_sorted = term[3] if len(term) > 3 else False
+        windows = term[4] if len(term) > 4 else None
         d = x.shape[-1]
         if d == 0:
             continue
         ws = jax.lax.slice_in_dim(w, off, off + d, axis=0)
         off += d
+        if ln_params is not None:
+            assert idx is None and ln_term is None
+            ln_term = (x, ln_params, ws)
+            continue
         y = jax.lax.dot_general(
             x, ws.astype(x.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -138,15 +151,31 @@ def _linear_split(params, out_dtype, terms, rows):
             # would make the split path LESS accurate than the fused concat
             # formulation (which keeps every per-row dot in f32 end to
             # end).  The gather's backward scatter-add runs sorted (Pallas
-            # kernel) instead of as an XLA serial scatter.
-            y = scatter.take_rows_sorted_grad(y, idx)
+            # kernel) instead of as an XLA serial scatter; for canonically
+            # sorted index arrays (receivers / edge_graph / node_graph) the
+            # per-step argsort is skipped too.
+            y = scatter.take_rows_sorted_grad(y, idx, idx_sorted, windows)
         acc = y.astype(jnp.float32) if acc is None \
             else acc + y.astype(jnp.float32)
-    if acc is None:
+    if acc is None and ln_term is None:
         # All-zero-width input: Linear(0, dout) is a bias broadcast.
         acc = jnp.zeros((rows, w.shape[1]), jnp.float32)
     if b is not None:
-        acc = acc + b.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        acc = bf if acc is None else acc + bf
+    if ln_term is not None:
+        # Complete the row inside the LN->matmul kernel: the f32 sum of the
+        # other partials (+ bias) enters as the kernel's addend, so the only
+        # rounding is the single final one — exactly the concat
+        # formulation's accuracy — and the f32 partial never hits HBM.
+        from ..ops.pallas.ln_linear import ln_matmul
+        x, ln_params, ws = ln_term
+        if acc is not None and acc.ndim == 1:
+            acc = jnp.broadcast_to(acc, (rows, w.shape[1]))
+        if acc is None:
+            acc = jnp.zeros((rows, w.shape[1]), jnp.float32)
+        return ln_matmul(x, ln_params["scale"], ln_params["bias"], ws,
+                         addend=acc).astype(out_dtype)
     return acc.astype(out_dtype)
 
 
@@ -190,7 +219,12 @@ class GNBlock(Module):
                 "graphfn": graphfn.init(gk)}
 
     def apply(self, params, g: GraphsTuple, *, training: bool = False,
-              rng=None) -> GraphsTuple:
+              rng=None, ef_ln=None) -> GraphsTuple:
+        """``ef_ln``: optional LayerNorm params ``{"scale", "bias"}`` to
+        apply to ``ef`` before the edge update — lets the GNCore fuse its
+        pre-block edge GraphNorm into the edge-update matmul (Pallas
+        ``ln_matmul``) instead of materializing the normalized ``[E, D]``
+        array.  Semantics == ``LayerNorm(ef)`` then the normal block."""
         edgefn, nodefn, graphfn = self._nets()
         de, dn, dg = self.in_dims
         # Normalize absent inputs to zero-width arrays so declared dims and
@@ -206,20 +240,24 @@ class GNBlock(Module):
                 f"!= declared in_dims {self.in_dims}")
 
         from ..utils.config import use_split_linear
+        if ef_ln is not None and not (use_split_linear() and de > 0):
+            # Fallback: materialize the LN (pure path keeps oracle numerics).
+            from ..nn.core import LayerNorm
+            ef = LayerNorm(de).apply(ef_ln, ef)
+            ef_ln = None
         if use_split_linear():
             # Gather-after-transform: node/global features are transformed
             # once at N/G rows, the results gathered to E edge slots — the
             # same per-row dots as the concat formulation (see
             # ``_linear_split``), at ~1/(1 + 2N/E) of the edge-update FLOPs.
-            h_ef = _linear_split(
-                params["edgefn"], dtype,
-                [(ef, None), (nf, g.senders), (nf, g.receivers),
-                 (gf, g.edge_graph)], rows=E)
+            h_ef = self._edge_update_split(params, g, ef, nf, gf, ef_ln,
+                                           dtype)
             agg = scatter.aggregate_edges_for_nodes(
                 h_ef, g.receivers, N, g.edge_mask)
             h_nf = _linear_split(
                 params["nodefn"], dtype,
-                [(agg, None), (nf, None), (gf, g.node_graph)], rows=N)
+                [(agg, None), (nf, None),
+                 (gf, g.node_graph, None, True)], rows=N)
             h_gf = graphfn.apply(params["graphfn"],
                                  get_graph_fn_input(g, ef=h_ef, nf=h_nf,
                                                     gf=gf))
@@ -232,3 +270,49 @@ class GNBlock(Module):
                                  get_graph_fn_input(g, ef=h_ef, nf=h_nf,
                                                     gf=gf))
         return zerodim2nothing(g.with_features(ef=h_ef, nf=h_nf, gf=h_gf))
+
+    def _edge_update_split(self, params, g: GraphsTuple, ef, nf, gf,
+                           ef_ln, dtype):
+        """Split-linear edge update; routes to the fused SDDMM kernel for
+        uniform slot layouts (``ops.pallas.edge_update``), else to
+        gather-after-transform partial sums."""
+        from ..utils.config import use_pallas
+        de, dn, dg = self.in_dims
+        de_o = self.out_dims[0]
+        E, N, G = g.num_edge_slots, g.num_node_slots, g.num_graph_slots
+        if (use_pallas() and g.slot_shape is not None
+                and de > 0 and dn > 0 and dg > 0):
+            from ..ops.pallas.edge_update import (fused_edge_update,
+                                                  supports_fused_edge_update)
+            n_slots, e_slots = g.slot_shape
+            if supports_fused_edge_update(E, N, G, de, de_o, n_slots,
+                                          e_slots, ef.dtype):
+                w, b = params["edgefn"]["w"], params["edgefn"].get("b")
+                mm = lambda x, ws: jax.lax.dot_general(
+                    x, ws.astype(x.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ts = mm(nf, jax.lax.slice_in_dim(w, de, de + dn, axis=0))
+                tr = mm(nf, jax.lax.slice_in_dim(w, de + dn, de + 2 * dn,
+                                                 axis=0))
+                tg = mm(gf, jax.lax.slice_in_dim(w, de + 2 * dn,
+                                                 de + 2 * dn + dg, axis=0))
+                w0 = jax.lax.slice_in_dim(w, 0, de, axis=0)
+                return fused_edge_update(
+                    ef, ef_ln, w0, ts, tr, tg, b, g.senders, g.receivers,
+                    n_slots, e_slots).astype(dtype)
+        # senders are unsorted WITHIN each graph but graph-local: with
+        # many small graphs the backward scatter can use per-graph edge
+        # windows (windowed one-hot kernel) instead of an argsort.
+        windows = None
+        if (use_pallas() and G > 1 and N <= 256 * G):
+            gi = jnp.arange(G + 1, dtype=jnp.int32)
+            windows = (
+                jnp.searchsorted(g.node_graph, gi).astype(jnp.int32),
+                jnp.searchsorted(g.edge_graph, gi).astype(jnp.int32))
+        ef_term = (ef, None) if ef_ln is None else (ef, None, ef_ln)
+        return _linear_split(
+            params["edgefn"], dtype,
+            [ef_term, (nf, g.senders, None, False, windows),
+             (nf, g.receivers, None, True),
+             (gf, g.edge_graph, None, True)], rows=E)

@@ -122,47 +122,68 @@ class GNCore(Module):
                 "gn1": gn1.init(n1k), "gn2": gn2.init(n2k)}
 
     def apply(self, params, g: GraphsTuple, *, training=False, rng=None):
+        from ..utils.config import use_pallas
         block, ffwd, gn1, gn2 = self._parts()
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
-        branch1 = block.apply(params["block"],
-                              gn1.apply(params["gn1"], g),
-                              training=training, rng=rngs[0])
+        if use_pallas():
+            # The pre-block LN of ef fuses into the edge-update matmul
+            # (ln_matmul, see gn_block._linear_split): LN'd ef has exactly
+            # one consumer, so the [T, D] normalized array never hits HBM.
+            eln = params["gn1"]["edgeln"]
+            gn1_nf_gf = g.with_features(
+                nf=gn1._lns()[1].apply(params["gn1"]["nodeln"], g.nf),
+                gf=gn1._lns()[2].apply(params["gn1"]["graphln"], g.gf))
+            branch1 = block.apply(params["block"], gn1_nf_gf,
+                                  training=training, rng=rngs[0],
+                                  ef_ln=eln)
+        else:
+            branch1 = block.apply(params["block"],
+                                  gn1.apply(params["gn1"], g),
+                                  training=training, rng=rngs[0])
         if self._use_fused(g, training):
-            # Pallas: x + FF(LN2(x)) fused per feature set, then + branch1.
-            fused = self._fused_branch2(params, g)
-            return graphnet_add(fused, branch1)
+            # Whole second branch + both residuals in one kernel pass per
+            # feature set: y = x + branch1 + FF(LN2(x)) (branch1 enters as
+            # the kernel's `extra` input).
+            return self._fused_branch2(params, g, branch1)
         branch2 = ffwd.apply(params["ffwd"],
                              gn2.apply(params["gn2"], g),
                              training=training, rng=rngs[1])
         return graphnet_add(graphnet_add(g, branch1), branch2)
+
+    # Above this feature dim the fused-FFN custom_vjp LOSES under training:
+    # its flash-style backward recomputes the forward (12 vs 8 matmul-units
+    # of FLOPs) while XLA's residual-saving autodiff already runs at ~peak
+    # MXU on the unfused chain (measured on v5e: D=384 fwd+bwd 657us XLA vs
+    # 812us fused; D=256 forward 8.42ms fused vs 9.28ms XLA at 1M edges —
+    # bandwidth-bound shapes win, compute-bound shapes lose).
+    _FUSED_FFN_TRAIN_MAX_DIM = 256
 
     def _use_fused(self, g: GraphsTuple, training: bool) -> bool:
         from ..ops.pallas.fused_ffn import supports_fused_ffn
         from ..utils.config import use_pallas
         if not use_pallas() or (training and self.dropout > 0):
             return False
+        if training and self.dims[0] > self._FUSED_FFN_TRAIN_MAX_DIM:
+            return False
         return (supports_fused_ffn(g.num_edge_slots, self.dims[0])
                 and supports_fused_ffn(g.num_node_slots, self.dims[1]))
 
-    def _fused_branch2(self, params, g: GraphsTuple) -> GraphsTuple:
-        from ..ops.pallas.fused_ffn import (ln_ffn_residual,
-                                            ln_ffn_residual_reference)
+    def _fused_branch2(self, params, g: GraphsTuple,
+                       branch1: GraphsTuple) -> GraphsTuple:
+        from ..ops.pallas.fused_ffn import ln_ffn_residual
         ln2, ff = params["gn2"], params["ffwd"]
 
-        def one(x, ln_key, ff_key, fused=True):
+        def one(x, extra, ln_key, ff_key):
             ln_p = ln2[ln_key]
             f = ff[ff_key]
-            fn = ln_ffn_residual if fused else ln_ffn_residual_reference
-            return fn(x, ln_p["scale"], ln_p["bias"],
-                      f["0"]["w"], f["0"]["b"], f["1"]["w"], f["1"]["b"])
+            return ln_ffn_residual(x, ln_p["scale"], ln_p["bias"],
+                                   f["0"]["w"], f["0"]["b"],
+                                   f["1"]["w"], f["1"]["b"], extra=extra)
 
-        from ..ops.pallas.fused_ffn import supports_fused_ffn
         return g.with_features(
-            ef=one(g.ef, "edgeln", "eff"),
-            nf=one(g.nf, "nodeln", "nff"),
-            gf=one(g.gf, "graphln", "gff",
-                   fused=supports_fused_ffn(g.num_graph_slots,
-                                            self.dims[2])),
+            ef=one(g.ef, branch1.ef, "edgeln", "eff"),
+            nf=one(g.nf, branch1.nf, "nodeln", "nff"),
+            gf=one(g.gf, branch1.gf, "graphln", "gff"),
         )
 
 

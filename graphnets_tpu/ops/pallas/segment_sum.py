@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sorted_segment_sum", "supports_sorted_segment_sum"]
+__all__ = ["sorted_segment_sum", "windowed_segment_sum",
+           "supports_sorted_segment_sum"]
 
 
 def _interpret() -> bool:
@@ -58,15 +59,16 @@ def supports_sorted_segment_sum(num_rows: int, num_segments: int,
             and num_segments >= 1)
 
 
-def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
+def _kernel(starts_ref,     # scalar prefetch: [grid] tile edge-window starts
+            ends_ref,       # scalar prefetch: [grid] tile edge-window ends
             x_hbm,          # [E, D] in ANY (manual DMA)
             seg_hbm,        # [1, E] int32 in ANY (manual DMA, lane-major)
             out_ref,        # [TN, D] VMEM block
             x_buf, seg_buf, acc_ref, sems, seg_sems,
             *, TE: int, TN: int, D: int, E: int):
     i = pl.program_id(0)
-    start = bounds_ref[i]
-    end = bounds_ref[i + 1]
+    start = starts_ref[i]
+    end = ends_ref[i]
     n0 = i * TN
 
     acc_ref[:] = jnp.zeros((TN, D), jnp.float32)
@@ -139,25 +141,53 @@ def _kernel(bounds_ref,     # scalar prefetch: [grid+1] tile edge offsets
 
 
 def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
-             te: Optional[int] = None, tn: Optional[int] = None
+             te: Optional[int] = None, tn: Optional[int] = None,
+             windows: Optional[Tuple[jax.Array, jax.Array]] = None
              ) -> jax.Array:
     E, D = x.shape
-    TE = te or _pick(E, (2048, 1024, 512, 256, 128))
-    TN = tn or _pick(num_segments, (256, 128)) or 128
+    # Tile choices swept on v5e (benchmarks/exp_tn.py): small segment
+    # counts want TN=128 (halves the one-hot FLOPs; the window per tile
+    # stays short), huge inputs want TE=1024 (keeps the double-buffered
+    # chunks small enough to overlap well).
+    if te is None:
+        te = _pick(E, (1024, 512, 256, 128)) if E > 262144             else _pick(E, (2048, 1024, 512, 256, 128))
+    TE = te
+    if tn is None:
+        tn = (128 if num_segments <= 4096
+              else (_pick(num_segments, (256, 128)) or 128))
+    TN = tn
     pad_segments = ((num_segments + TN - 1) // TN) * TN
     grid = pad_segments // TN
 
     seg = seg.astype(jnp.int32)
-    # Per-tile chunk bounds only — grid + 1 searchsorted queries, not a
-    # full [num_segments + 1] indptr.
-    bounds = jnp.searchsorted(
-        seg, jnp.arange(0, pad_segments + 1, TN, dtype=seg.dtype),
-        side="left").astype(jnp.int32)                     # [grid + 1]
+    if windows is None:
+        # Sorted ids: per-tile chunk bounds from grid + 1 searchsorted
+        # queries (not a full [num_segments + 1] indptr); windows tile the
+        # edge range, so starts[i] = ends[i-1].
+        bounds = jnp.searchsorted(
+            seg, jnp.arange(0, pad_segments + 1, TN, dtype=seg.dtype),
+            side="left").astype(jnp.int32)                 # [grid + 1]
+        starts, ends = bounds[:-1], bounds[1:]
+    else:
+        # Unsorted-WITHIN-GRAPH ids (e.g. senders): each node tile's edge
+        # window spans the graphs whose node ranges intersect the tile —
+        # every edge whose id lands in the tile lies inside, rows outside
+        # match no one-hot column.  Windows of adjacent tiles may overlap
+        # when a graph spans a tile boundary.
+        node_off, edge_off = windows                       # [G + 1] each
+        tile_lo = jnp.arange(0, pad_segments, TN, dtype=jnp.int32)
+        g_lo = jnp.clip(jnp.searchsorted(node_off, tile_lo, side="right")
+                        - 1, 0, node_off.shape[0] - 1)
+        g_hi = jnp.clip(jnp.searchsorted(node_off, tile_lo + TN,
+                                         side="left"),
+                        0, node_off.shape[0] - 1)
+        starts = jnp.take(edge_off, g_lo).astype(jnp.int32)
+        ends = jnp.take(edge_off, g_hi).astype(jnp.int32)
 
     out = pl.pallas_call(
         functools.partial(_kernel, TE=TE, TN=TN, D=D, E=E),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -181,7 +211,7 @@ def _forward(x: jax.Array, seg: jax.Array, num_segments: int,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(bounds, x, seg.reshape(1, E))
+    )(starts, ends, x, seg.reshape(1, E))
     return out[:num_segments]
 
 
@@ -213,3 +243,23 @@ def sorted_segment_sum(x: jax.Array, seg: jax.Array,
         return jax.ops.segment_sum(x, seg, num_segments=num_segments,
                                    indices_are_sorted=True)
     return _ss(x, seg, num_segments)
+
+
+def windowed_segment_sum(x: jax.Array, seg: jax.Array, num_segments: int,
+                         node_offsets: jax.Array,
+                         edge_offsets: jax.Array) -> jax.Array:
+    """Segment sum for ids that are unsorted WITHIN each graph but where
+    edges of graph b can only target nodes of graph b (e.g. ``senders`` in
+    the canonical batch layout).
+
+    ``node_offsets`` / ``edge_offsets``: ``[G + 1]`` cumulative node / edge
+    slot counts (graph b owns nodes ``node_offsets[b]:node_offsets[b+1]``
+    and edges ``edge_offsets[b]:edge_offsets[b+1]``).  Each node tile
+    reduces only the edge windows of the graphs it intersects — no argsort,
+    no permutation gather.  Not differentiated (used as a BACKWARD scatter;
+    see ``ops.scatter.take_rows_sorted_grad``).
+    """
+    if not supports_sorted_segment_sum(x.shape[0], num_segments, x.shape[1]):
+        return jax.ops.segment_sum(x, seg, num_segments=num_segments)
+    return _forward(x, seg, num_segments,
+                    windows=(node_offsets, edge_offsets))

@@ -81,8 +81,71 @@ def _check_sorted_pad_safe(seg, mask):
         _host_check_sorted_pad_safe(seg, mask)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _take_rows(x: Array, idx: Array, idx_sorted: bool) -> Array:
+    return jnp.take(x, idx, axis=0, indices_are_sorted=idx_sorted,
+                    mode="clip")
+
+
+def _take_rows_fwd(x, idx, idx_sorted):
+    return _take_rows(x, idx, idx_sorted), (idx, x.shape[0])
+
+
+def _take_rows_bwd(idx_sorted, res, g):
+    idx, n = res
+    if idx_sorted:
+        # Canonical-order indices (receivers / edge_graph / node_graph are
+        # ascending by construction): the cotangent rows are already in
+        # segment order — reduce directly, no per-step argsort.
+        dx = segment_sum(g, idx, n, indices_are_sorted=True,
+                         sorted_pad_safe=True)
+    else:
+        perm = jnp.argsort(idx)
+        seg = jnp.take(idx, perm)
+        gs = jnp.take(g, perm, axis=0)
+        dx = segment_sum(gs, seg, n, indices_are_sorted=True,
+                         sorted_pad_safe=True)
+    return dx.astype(g.dtype), None
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 @jax.custom_vjp
-def take_rows_sorted_grad(x: Array, idx: Array) -> Array:
+def _take_rows_win(x: Array, idx: Array, win_n: Array,
+                   win_e: Array) -> Array:
+    return jnp.take(x, idx, axis=0, mode="clip")
+
+
+def _take_rows_win_fwd(x, idx, win_n, win_e):
+    return _take_rows_win(x, idx, win_n, win_e), \
+        (idx, win_n, win_e, x.shape[0])
+
+
+def _take_rows_win_bwd(res, g):
+    # Unsorted-within-graph ids with per-graph edge windows (senders): the
+    # windowed one-hot kernel reduces without argsort or a permutation
+    # gather.
+    idx, win_n, win_e, n = res
+    from ..utils.config import use_pallas
+    if use_pallas():
+        from .pallas.segment_sum import windowed_segment_sum
+        dx = windowed_segment_sum(g, idx, n, win_n, win_e)
+    else:
+        dx = jax.ops.segment_sum(
+            g.astype(jnp.float32) if g.dtype == jnp.bfloat16 else g,
+            idx, num_segments=n)
+    return dx.astype(g.dtype), None, None, None
+
+
+_take_rows_win.defvjp(_take_rows_win_fwd, _take_rows_win_bwd)
+
+
+def take_rows_sorted_grad(x: Array, idx: Array, idx_sorted: bool = False,
+                          windows=None) -> Array:
     """``x[idx]`` whose backward scatter-add runs SORTED.
 
     The adjoint of a row gather is a scatter-add of the output cotangent by
@@ -90,38 +153,29 @@ def take_rows_sorted_grad(x: Array, idx: Array) -> Array:
     TPU).  Here the backward instead sorts the cotangent rows by ``idx``
     (one argsort of ``idx``, CSE-d across blocks sharing the index array)
     and reduces with the CSR one-hot-matmul Pallas kernel / sorted
-    ``segment_sum``.  Numerically this changes only the intra-segment
-    accumulation order (both accumulate in f32).
+    ``segment_sum``.  ``idx_sorted=True`` declares the ids already
+    ascending (canonical edge order), skipping the argsort entirely.
+    ``windows=(node_offsets, edge_offsets)`` (``[G+1]`` each) declares ids
+    unsorted within graphs but graph-local (senders): the backward reduces
+    with the windowed one-hot kernel — no argsort AND no permutation
+    gather.  Numerically these change only the intra-segment accumulation
+    order (all accumulate in f32).
     """
-    return jnp.take(x, idx, axis=0, mode="clip")
+    if windows is not None and not idx_sorted:
+        return _take_rows_win(x, idx, windows[0], windows[1])
+    return _take_rows(x, idx, idx_sorted)
 
 
-def _take_rows_fwd(x, idx):
-    return jnp.take(x, idx, axis=0, mode="clip"), (idx, x.shape[0])
-
-
-def _take_rows_bwd(res, g):
-    idx, n = res
-    perm = jnp.argsort(idx)
-    seg = jnp.take(idx, perm)
-    gs = jnp.take(g, perm, axis=0)
-    dx = segment_sum(gs, seg, n, indices_are_sorted=True,
-                     sorted_pad_safe=True)
-    return dx.astype(g.dtype), None
-
-
-take_rows_sorted_grad.defvjp(_take_rows_fwd, _take_rows_bwd)
-
-
-def gather_nodes(nf: Array, idx: Array) -> Array:
+def gather_nodes(nf: Array, idx: Array, idx_sorted: bool = False,
+                 windows=None) -> Array:
     """``nf[idx]`` — replaces ``batched_mul(nf, src/dstnode2edge_broadcaster)``
     (``/root/reference/src/edgefninput.jl:4-5``).  O(E·DN) HBM traffic instead
     of an O(PN·PN²) dense matmul.  Backward scatter-add runs sorted (see
     :func:`take_rows_sorted_grad`)."""
     from ..utils.config import get_config
     if get_config().sorted_scatter_grad:
-        return take_rows_sorted_grad(nf, idx)
-    return jnp.take(nf, idx, axis=0, indices_are_sorted=False,
+        return take_rows_sorted_grad(nf, idx, idx_sorted, windows)
+    return jnp.take(nf, idx, axis=0, indices_are_sorted=idx_sorted,
                     unique_indices=False, mode="clip")
 
 
@@ -230,12 +284,20 @@ def aggregate_nodes_for_globals(nf: Array, node_graph: Array, num_graphs: int,
 def broadcast_globals_to_edges(gf: Array, edge_graph: Array) -> Array:
     """Tile graph features onto edge slots — replaces
     ``batched_mul(gf, graph2edge_broadcaster)``
-    (``/root/reference/src/edgefninput.jl:6``)."""
+    (``/root/reference/src/edgefninput.jl:6``).  ``edge_graph`` is sorted by
+    construction, so the backward reduction runs argsort-free."""
+    from ..utils.config import get_config
+    if get_config().sorted_scatter_grad:
+        return take_rows_sorted_grad(gf, edge_graph, idx_sorted=True)
     return jnp.take(gf, edge_graph, axis=0, mode="clip")
 
 
 def broadcast_globals_to_nodes(gf: Array, node_graph: Array) -> Array:
     """Tile graph features onto node slots — replaces
     ``batched_mul(gf, graph2node_broadcaster)``
-    (``/root/reference/src/nodefninput.jl:5``)."""
+    (``/root/reference/src/nodefninput.jl:5``).  ``node_graph`` is sorted by
+    construction, so the backward reduction runs argsort-free."""
+    from ..utils.config import get_config
+    if get_config().sorted_scatter_grad:
+        return take_rows_sorted_grad(gf, node_graph, idx_sorted=True)
     return jnp.take(gf, node_graph, axis=0, mode="clip")

@@ -169,3 +169,280 @@ def test_take_rows_sorted_grad_matches(interpret_mode):
     np.testing.assert_allclose(np.asarray(vjp(ct)[0]),
                                np.asarray(vjp_ref(ct)[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("rows,d,dout", [(8, 128, 128), (256, 128, 256)])
+def test_ln_matmul_matches_reference(interpret_mode, dtype, rows, d, dout):
+    from graphnets_tpu.ops.pallas.ln_linear import (_forward,
+                                                    ln_matmul_reference)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32), dtype)
+    # include a constant row (var == 0) to exercise the safe-sqrt guard
+    x = x.at[0].set(jnp.full((d,), 0.7, dtype))
+    scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d, dout)).astype(np.float32) * 0.05,
+                    dtype)
+    out = _forward(x, scale, bias, w)
+    ref = ln_matmul_reference(x, scale, bias, w)
+    tol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_ln_matmul_gradients(interpret_mode):
+    """Fused Pallas backward == autodiff of the pure composition, including
+    the var == 0 (constant row) gradient branch."""
+    from graphnets_tpu.ops.pallas.ln_linear import (ln_matmul,
+                                                    ln_matmul_reference)
+    rows, d, dout = 16, 128, 128
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    x = x.at[3].set(jnp.zeros((d,)))  # all-zero padded row
+    args = [
+        x,
+        jnp.asarray(rng.normal(size=(d,)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(d,)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(d, dout)).astype(np.float32) * 0.05),
+    ]
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(ln_matmul(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ln_matmul_reference(*a)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ffn_backward_kernel(interpret_mode):
+    """Fused Pallas backward kernel == autodiff of the pure reference,
+    including zero (padded) rows and the extra-residual input."""
+    from graphnets_tpu.ops.pallas.fused_ffn import (ln_ffn_residual,
+                                                    ln_ffn_residual_reference)
+    d, rows = 128, 32
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    x = x.at[5].set(jnp.zeros((d,)))
+    extra = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    args = [
+        x,
+        jnp.asarray(rng.normal(size=(d,)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(d,)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(d, 4 * d)).astype(np.float32) * 0.05),
+        jnp.asarray(rng.normal(size=(4 * d,)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(4 * d, d)).astype(np.float32) * 0.05),
+        jnp.asarray(rng.normal(size=(d,)).astype(np.float32)),
+        extra,
+    ]
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(ln_ffn_residual(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ln_ffn_residual_reference(*a)))
+
+    idx = tuple(range(8))
+    g_fused = jax.grad(loss_fused, argnums=idx)(*args)
+    g_ref = jax.grad(loss_ref, argnums=idx)(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_fused_ffn_extra_forward(interpret_mode):
+    from graphnets_tpu.ops.pallas.fused_ffn import (ln_ffn_residual,
+                                                    ln_ffn_residual_reference)
+    d, rows = 128, 16
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    x, extra = mk(rows, d), mk(rows, d)
+    args = (x, mk(d), mk(d), mk(d, 4 * d) * 0.05, mk(4 * d),
+            mk(4 * d, d) * 0.05, mk(d))
+    out = ln_ffn_residual(*args, extra=extra)
+    ref = ln_ffn_residual_reference(*args, extra=extra)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ln_matmul_addend(interpret_mode):
+    """Completed-row variant: addend folded in with one final rounding,
+    gradients == autodiff of the pure composition."""
+    from graphnets_tpu.ops.pallas.ln_linear import (ln_matmul,
+                                                    ln_matmul_reference)
+    rows, d, dout = 16, 128, 128
+    rng = np.random.default_rng(4)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    x, scale, bias, w = mk(rows, d), mk(d), mk(d), mk(d, dout) * 0.05
+    addend = mk(rows, dout)
+
+    out = ln_matmul(x, scale, bias, w, addend=addend)
+    ref = ln_matmul_reference(x, scale, bias, w, addend=addend)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(ln_matmul(*a[:4], addend=a[4])))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ln_matmul_reference(*a[:4], addend=a[4])))
+
+    args = (x, scale, bias, w, addend)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_segment_sum_matches(interpret_mode):
+    """Unsorted-within-graph ids + per-graph windows == jax.ops.segment_sum."""
+    from graphnets_tpu.ops.pallas.segment_sum import windowed_segment_sum
+    rng = np.random.default_rng(5)
+    G, n_per_g, e_per_g, d = 6, 64, 128, 128
+    N, E = G * n_per_g, G * e_per_g
+    # senders: random WITHIN each graph (unsorted), graph-local
+    seg = np.concatenate([
+        rng.integers(b * n_per_g, (b + 1) * n_per_g, e_per_g)
+        for b in range(G)]).astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+    node_off = jnp.asarray(np.arange(G + 1) * n_per_g, jnp.int32)
+    edge_off = jnp.asarray(np.arange(G + 1) * e_per_g, jnp.int32)
+    out = windowed_segment_sum(x, jnp.asarray(seg), N, node_off, edge_off)
+    ref = jax.ops.segment_sum(x, jnp.asarray(seg), num_segments=N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_take_rows_windows_grad(interpret_mode):
+    """Windows-mode backward == argsort-mode backward == autodiff of take."""
+    from graphnets_tpu.ops.scatter import take_rows_sorted_grad
+    rng = np.random.default_rng(6)
+    G, n_per_g, e_per_g, d = 4, 32, 64, 128
+    N, E = G * n_per_g, G * e_per_g
+    senders = np.concatenate([
+        rng.integers(b * n_per_g, (b + 1) * n_per_g, e_per_g)
+        for b in range(G)]).astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+    idx = jnp.asarray(senders)
+    windows = (jnp.asarray(np.arange(G + 1) * n_per_g, jnp.int32),
+               jnp.asarray(np.arange(G + 1) * e_per_g, jnp.int32))
+
+    def via(windows_arg):
+        def f(x_):
+            return jnp.sum(take_rows_sorted_grad(x_, idx,
+                                                 windows=windows_arg) * ct)
+        return jax.grad(f)(x)
+
+    g_win = via(windows)
+    g_argsort = via(None)
+    g_ref = jax.grad(lambda x_: jnp.sum(jnp.take(x_, idx, axis=0) * ct))(x)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_argsort), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_edge_update_matches(interpret_mode):
+    """Fused SDDMM edge-update kernel == pure reference (bf16, hi/lo
+    gather planes), forward and gradients."""
+    from graphnets_tpu.ops.pallas.edge_update import (
+        fused_edge_update, fused_edge_update_reference,
+        supports_fused_edge_update)
+    rng = np.random.default_rng(7)
+    G, n_slots, e_slots, d = 4, 32, 128, 128
+    N, E = G * n_slots, G * e_slots
+    assert supports_fused_edge_update(E, N, G, d, d, n_slots, e_slots,
+                                      jnp.bfloat16)
+    senders = jnp.asarray(np.concatenate([
+        rng.integers(b * n_slots, (b + 1) * n_slots, e_slots)
+        for b in range(G)]).astype(np.int32))
+    receivers = jnp.asarray(np.concatenate([
+        np.sort(rng.integers(b * n_slots, (b + 1) * n_slots, e_slots))
+        for b in range(G)]).astype(np.int32))
+    mkf = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    ef = mkf(E, d).astype(jnp.bfloat16)
+    ln = {"scale": mkf(d), "bias": mkf(d)}
+    w0 = mkf(d, d).astype(jnp.bfloat16) * 0.05
+    ts, tr, tg = mkf(N, d), mkf(N, d), mkf(G, d)
+    b = mkf(d)
+
+    for ln_p in (ln, None):
+        out = fused_edge_update(ef, ln_p, w0, ts, tr, tg, b,
+                                senders, receivers, n_slots, e_slots)
+        ref = fused_edge_update_reference(ef, ln_p, w0, ts, tr, tg, b,
+                                          senders, receivers, e_slots)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def loss_fused(ef_, w0_, ts_, tr_, tg_, b_, s_, bi_):
+        return jnp.sum(jnp.sin(fused_edge_update(
+            ef_, {"scale": s_, "bias": bi_}, w0_, ts_, tr_, tg_, b_,
+            senders, receivers, n_slots, e_slots).astype(jnp.float32)))
+
+    def loss_ref(ef_, w0_, ts_, tr_, tg_, b_, s_, bi_):
+        return jnp.sum(jnp.sin(fused_edge_update_reference(
+            ef_, {"scale": s_, "bias": bi_}, w0_, ts_, tr_, tg_, b_,
+            senders, receivers, e_slots).astype(jnp.float32)))
+
+    args = (ef, w0, ts, tr, tg, b, ln["scale"], ln["bias"])
+    gf_ = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    gr_ = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, bb in zip(gf_, gr_):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(bb, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_gnblock_fused_edge_update_matches_split(interpret_mode):
+    """GNBlock with slot_shape (fused SDDMM path) == GNBlock without
+    (gather-after-transform path), bf16."""
+    import dataclasses as dc
+    from graphnets_tpu.graph import GraphsTuple
+    from graphnets_tpu.models.gn_block import GNBlock
+    rng = np.random.default_rng(8)
+    G, n_slots, e_slots, d = 4, 32, 128, 128
+    N, E = G * n_slots, G * e_slots
+    senders = np.concatenate([
+        rng.integers(b * n_slots, (b + 1) * n_slots, e_slots)
+        for b in range(G)]).astype(np.int32)
+    receivers = np.concatenate([
+        np.sort(rng.integers(b * n_slots, (b + 1) * n_slots, e_slots))
+        for b in range(G)]).astype(np.int32)
+    g = GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.asarray(np.repeat(np.arange(G, dtype=np.int32),
+                                         n_slots)),
+        edge_graph=jnp.asarray(np.repeat(np.arange(G, dtype=np.int32),
+                                         e_slots)),
+        n_node=jnp.full((G,), n_slots, jnp.int32),
+        n_edge=jnp.full((G,), e_slots, jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((G,), bool),
+        ef=jnp.asarray(rng.normal(size=(E, d)).astype(np.float32),
+                       jnp.bfloat16),
+        nf=jnp.asarray(rng.normal(size=(N, d)).astype(np.float32),
+                       jnp.bfloat16),
+        gf=jnp.asarray(rng.normal(size=(G, d)).astype(np.float32),
+                       jnp.bfloat16),
+        slot_shape=(n_slots, e_slots),
+    )
+    block = GNBlock((d, d, d), (d, d, d))
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        block.init(jax.random.PRNGKey(0)))
+    out_fused = block.apply(params, g)
+    out_split = block.apply(params, dc.replace(g, slot_shape=None))
+    for a, b in ((out_fused.ef, out_split.ef), (out_fused.nf, out_split.nf),
+                 (out_fused.gf, out_split.gf)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
