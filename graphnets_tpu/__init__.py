@@ -27,6 +27,9 @@ from .graph import (
     collapsef,
     unpadded_collapsed_ef,
     flat_unpadded_collapsed_ef,
+    GNGraphBatch,
+    unpaddedcollapsedef,
+    flatunpaddedcollapsedef,
     adjacency_matrices,
 )
 from .models.gn_block import (
@@ -53,7 +56,8 @@ __all__ = [
     "flat_unpadded_nf", "flat_unpadded_ef",
     "flatunpaddednf", "flatunpaddedef",
     "collapse_ef", "collapse_ef_padded", "collapsef", "unpadded_collapsed_ef",
-    "flat_unpadded_collapsed_ef", "adjacency_matrices",
+    "flat_unpadded_collapsed_ef", "GNGraphBatch", "unpaddedcollapsedef",
+    "flatunpaddedcollapsedef", "adjacency_matrices",
     "GNBlock", "get_edge_fn_input", "get_node_fn_input",
     "get_graph_fn_input", "zerodim2nothing",
     "GNCore", "GNCoreList", "GNFeedForward", "GNGraphNorm", "graphnet_add",

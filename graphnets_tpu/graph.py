@@ -66,6 +66,9 @@ __all__ = [
     "collapsef",
     "unpadded_collapsed_ef",
     "flat_unpadded_collapsed_ef",
+    "GNGraphBatch",
+    "unpaddedcollapsedef",
+    "flatunpaddedcollapsedef",
 ]
 
 
@@ -81,11 +84,24 @@ class PadSpec:
     over variable-structure batches, fix these (or use :meth:`bucketed`) so XLA
     compiles once.  Padding adds one virtual "padding graph" that owns all
     padding nodes and edges.
+
+    ``per_slot=True`` (see :meth:`uniform`) switches to the UNIFORM slot
+    layout: ``num_nodes``/``num_edges`` are then PER-GRAPH capacities — graph
+    slot ``b`` owns node slots ``[b*num_nodes, (b+1)*num_nodes)`` and edge
+    slots ``[b*num_edges, (b+1)*num_edges)``, padding slots interleaved per
+    graph rather than appended at the end.  This sets
+    ``GraphsTuple.slot_shape`` and unlocks the fused SDDMM edge-update
+    kernel (``ops.pallas.edge_update``) on ``batch()``-produced data.
+    Padded edges of slot ``b`` point at slot ``b``'s LAST node slot, so a
+    graph with padded edges must have at least one padding node
+    (``n_i < num_nodes`` whenever ``e_i < num_edges``) to preserve the
+    pad-targets-pad aggregation invariant.
     """
 
     num_nodes: Optional[int] = None
     num_edges: Optional[int] = None
     num_graphs: Optional[int] = None
+    per_slot: bool = False
 
     @staticmethod
     def bucketed(n_node: int, n_edge: int, n_graph: int,
@@ -95,6 +111,22 @@ class PadSpec:
             num_nodes=_round_up(n_node + 1, node_multiple),
             num_edges=_round_up(n_edge, edge_multiple),
             num_graphs=n_graph + 1,
+        )
+
+    @staticmethod
+    def uniform(n_slots: int, e_slots: int,
+                num_graphs: Optional[int] = None,
+                node_multiple: int = 8,
+                edge_multiple: int = 128) -> "PadSpec":
+        """Uniform slot layout: every graph slot owns ``n_slots`` node and
+        ``e_slots`` edge slots (rounded up to hardware-friendly multiples —
+        the fused edge-update kernel wants lane-aligned edge tiles).
+        ``num_graphs`` > B appends fully-padded graph slots."""
+        return PadSpec(
+            num_nodes=_round_up(n_slots, node_multiple),
+            num_edges=_round_up(e_slots, edge_multiple),
+            num_graphs=num_graphs,
+            per_slot=True,
         )
 
 
@@ -626,3 +658,9 @@ def flat_unpadded_collapsed_ef(g: GraphsTuple) -> np.ndarray:
 
 
 collapsef = collapse_ef
+
+# Reference-spelled aliases (export surface of
+# /root/reference/src/GraphNets.jl:12-50).
+GNGraphBatch = GraphsTuple
+unpaddedcollapsedef = unpadded_collapsed_ef
+flatunpaddedcollapsedef = flat_unpadded_collapsed_ef

@@ -110,9 +110,15 @@ def _kernel(starts_ref,     # scalar prefetch: [grid] tile edge-window starts
         seg_row = seg_buf[slot]                            # [1, TE]
         onehot = jnp.where(seg_row == seg_rows, 1.0,
                            0.0).astype(x_buf.dtype)        # [TN, TE]
+        # DEFAULT precision rounds f32 operands to bf16 on the MXU; for f32
+        # inputs force HIGHEST so products keep full f32 mantissas (bf16
+        # inputs are exact either way and stay single-pass).
+        prec = (jax.lax.Precision.HIGHEST
+                if x_buf.dtype == jnp.float32 else None)
         acc_ref[:] += jax.lax.dot_general(
             onehot, x_buf[slot],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)
 
     @pl.when(nchunks > 0)

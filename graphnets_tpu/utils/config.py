@@ -12,7 +12,10 @@ from typing import Optional
 class Config:
     # Use Pallas TPU kernels on the hot paths (pure-JAX path remains the
     # numerics oracle and the fallback for unsupported shapes/backends).
-    use_pallas: bool = False
+    # None = "auto": resolve to True iff the default backend is a TPU,
+    # decided lazily on first query (so importing the package never forces
+    # backend initialization).
+    use_pallas: Optional[bool] = None
     # Run Pallas kernels in interpreter mode (CPU debugging/testing).
     pallas_interpret: bool = False
     # Compute GNBlock update nets as per-segment split matmuls with
@@ -34,26 +37,43 @@ class Config:
     debug_checks: bool = False
 
 
+def _env_pallas() -> Optional[bool]:
+    v = os.environ.get("GRAPHNETS_TPU_PALLAS", "auto").lower()
+    if v in ("auto", ""):
+        return None
+    return v == "1"
+
+
 _config = Config(
-    use_pallas=os.environ.get("GRAPHNETS_TPU_PALLAS", "auto") == "1",
+    use_pallas=_env_pallas(),
     pallas_interpret=os.environ.get("GRAPHNETS_TPU_PALLAS_INTERPRET",
                                     "0") == "1",
     split_linear=os.environ.get("GRAPHNETS_TPU_SPLIT_LINEAR", "1") == "1",
     debug_checks=os.environ.get("GRAPHNETS_TPU_DEBUG", "0") == "1",
 )
 
-# Default: off.  Measured on v5e, the 3-core stack at D=384 is FLOP-bound and
-# XLA reaches ~86% of peak on the LN->FFN->residual chain, so the fused
-# kernel buys nothing there (it matches, 228us vs 228us per FF-edges pass)
-# while adding compile time.  Enable with GRAPHNETS_TPU_PALLAS=1 for
-# bandwidth-bound configs (small D) — the kernel is parity-tested either way.
+# Measured on v5e (benchmarks/RESULTS.md): the Pallas sorted-segment-sum and
+# fused SDDMM edge-update kernels are worth ~30% of the 3-core forward at
+# D=384, so "auto" turns them ON whenever the default backend is a TPU.
+# Per-shape fallbacks to the pure-XLA oracle path remain in every kernel
+# entry point; GRAPHNETS_TPU_PALLAS=0/1 forces either mode.
 
 
 def get_config() -> Config:
     return _config
 
 
+def _backend_is_tpu() -> bool:
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def use_pallas() -> bool:
+    if _config.use_pallas is None:
+        _config.use_pallas = _backend_is_tpu()
     return _config.use_pallas
 
 
