@@ -25,7 +25,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from graphnets_tpu.graph import GraphsTuple
 from graphnets_tpu.models.gn_core import GNCore, GNCoreList
 from graphnets_tpu.utils.config import enable_pallas
 from graphnets_tpu.utils.warmup import enable_compilation_cache
@@ -42,39 +41,36 @@ WARMUP, ITERS = 3, 10
 
 
 def build_graphs(seed=0):
+    """Build the workload through the public ``batch()`` API with the
+    uniform slot layout (``PadSpec.uniform``): each graph is a random
+    directed graph with exactly DEG in-edges per node (distinct senders, so
+    it is adjacency-representable), batched heterogeneously.  The resulting
+    ``slot_shape`` routes the edge update through the fused SDDMM kernel —
+    the same path any user hits with ``batch(..., PadSpec.uniform(...))``.
+    """
+    from graphnets_tpu.graph import PadSpec, batch
     rng = np.random.default_rng(seed)
-    adjs, efs, nfs, gfs = [], [], [], []
-    senders, receivers = [], []
-    for b in range(B):
-        s = rng.integers(0, N_PER_G, size=N_PER_G * DEG)
-        r = rng.integers(0, N_PER_G, size=N_PER_G * DEG)
-        senders.append(s + b * N_PER_G)
-        receivers.append(r + b * N_PER_G)
     E = N_PER_G * DEG
     N = N_PER_G
-    sg = np.concatenate(senders).astype(np.int32)
-    rg = np.concatenate(receivers).astype(np.int32)
-    # Canonical edge order (what batch() emits): sorted by (receiver,
-    # sender).  Node ids are per-graph offset, so one global lexsort gives
-    # per-graph column-major order — the sorted-segment-sum precondition.
-    order = np.lexsort((sg, rg))
-    sg, rg = sg[order], rg[order]
-    ef = rng.normal(size=(B * E, D)).astype(np.float32)
-    nf = rng.normal(size=(B * N, D)).astype(np.float32)
-    gf = rng.normal(size=(B, D)).astype(np.float32)
-    g = GraphsTuple(
-        senders=jnp.asarray(sg), receivers=jnp.asarray(rg),
-        node_graph=jnp.asarray(np.repeat(np.arange(B, dtype=np.int32), N)),
-        edge_graph=jnp.asarray(np.repeat(np.arange(B, dtype=np.int32), E)),
-        n_node=jnp.full((B,), N, jnp.int32),
-        n_edge=jnp.full((B,), E, jnp.int32),
-        node_mask=jnp.ones((B * N,), bool),
-        edge_mask=jnp.ones((B * E,), bool),
-        graph_mask=jnp.ones((B,), bool),
-        ef=jnp.asarray(ef, DTYPE), nf=jnp.asarray(nf, DTYPE),
-        gf=jnp.asarray(gf, DTYPE),
-        slot_shape=(N, E),  # uniform layout: unlocks the fused SDDMM kernel
-    )
+    adjs, efs, nfs, gfs = [], [], [], []
+    for b in range(B):
+        adj = np.zeros((N, N), np.int64)
+        for r in range(N):
+            adj[rng.choice(N, size=DEG, replace=False), r] = 1
+        adjs.append(adj)
+        efs.append(rng.normal(size=(E, D)).astype(np.float32))
+        nfs.append(rng.normal(size=(N, D)).astype(np.float32))
+        gfs.append(rng.normal(size=(D,)).astype(np.float32))
+    g = batch({"graphs": adjs, "ef": efs, "nf": nfs,
+               "gf": np.stack(gfs)}, pad=PadSpec.uniform(N, E))
+    assert g.slot_shape == (N, E) and not g.pad_aliases_real
+    sg = np.asarray(g.senders)
+    rg = np.asarray(g.receivers)
+    ef = np.asarray(g.ef)
+    nf = np.asarray(g.nf)
+    gf = np.asarray(g.gf)
+    g = g.with_features(ef=g.ef.astype(DTYPE), nf=g.nf.astype(DTYPE),
+                        gf=g.gf.astype(DTYPE))
     return g, (sg, rg, ef, nf, gf)
 
 
@@ -209,6 +205,8 @@ def main():
 
     t_sparse = bench_sparse(g, params, stack)
     ours = n_edges / t_sparse
+    print(f"# sparse: {ours:.3e} edges/s  step {t_sparse*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
 
     vs_baseline = None
     try:

@@ -31,8 +31,23 @@ from graphnets_tpu.utils.metrics import MetricLogger
 from graphnets_tpu.utils.warmup import enable_compilation_cache
 
 
+def distinct_ceiling(n, vocab=100):
+    """P(all n values distinct) when sampled WITH replacement from
+    1..vocab (``/root/reference/examples/sort/sort.jl:16``).  Tied nodes
+    are automorphic on the complete graph, so a permutation-equivariant
+    model cannot match the stable-sort tie-broken edge targets — this is
+    the theoretical graph_acc ceiling per size."""
+    p = 1.0
+    for k in range(n):
+        p *= (vocab - k) / vocab
+    return p
+
+
 def eval_by_size(model, params, vocab, n_eval=512, batch_size=64, dtype=None):
-    """Graph accuracy per graph size (all graphs in a batch share n)."""
+    """Per-size accuracy with the duplicate-value ceiling made explicit:
+    reports P(all distinct), graph_acc, and graph_acc CONDITIONED on the
+    graph's values being distinct (the only regime the model can solve)."""
+    from graphnets_tpu.training.losses import per_graph_correct
     out = {}
     for n in range(2, 11):
         cfg = SortTaskConfig(vocab_size=vocab, min_nodes=n, max_nodes=n,
@@ -44,16 +59,40 @@ def eval_by_size(model, params, vocab, n_eval=512, batch_size=64, dtype=None):
             def body(c, k):
                 x, y = device_batch(k, cfg, pad, dtype=dtype)
                 pred = model.apply(params, x)
-                return c, (masked_accuracy(pred.nf, y.nf, x.node_mask),
-                           masked_accuracy(pred.ef, y.ef, x.edge_mask),
-                           graph_accuracy(pred, y))
+                G = x.num_graph_slots
+                # per-graph value-distinctness from the one-hot inputs
+                val = jnp.argmax(x.nf, -1)
+                counts = jax.ops.segment_sum(
+                    jax.nn.one_hot(val, cfg.vocab_size)
+                    * x.node_mask[:, None].astype(jnp.float32),
+                    x.node_graph, num_segments=G,
+                    indices_are_sorted=True)
+                distinct = jnp.all(counts <= 1.0, axis=-1) & x.graph_mask
+                ok = (per_graph_correct(pred, y) > 0) & x.graph_mask
+                gm = x.graph_mask.astype(jnp.float32)
+                return c, (
+                    masked_accuracy(pred.nf, y.nf, x.node_mask),
+                    masked_accuracy(pred.ef, y.ef, x.edge_mask),
+                    jnp.sum(ok.astype(jnp.float32)) / jnp.sum(gm),
+                    jnp.sum((ok & distinct).astype(jnp.float32)),
+                    jnp.sum(distinct.astype(jnp.float32)),
+                    jnp.sum(gm))
             keys = jax.random.split(key, max(n_eval // batch_size, 1))
             _, ms = jax.lax.scan(body, 0, keys)
-            return jax.tree_util.tree_map(jnp.mean, ms)
+            na, ea, ga, okd, nd, ng = [jnp.sum(m) if i >= 3 else jnp.mean(m)
+                                       for i, m in enumerate(ms)]
+            return na, ea, ga, okd, nd, ng
 
-        na, ea, ga = run(jax.random.PRNGKey(99 + n))
-        out[n] = {"node_acc": float(na), "edge_acc": float(ea),
-                  "graph_acc": float(ga)}
+        na, ea, ga, okd, nd, ng = run(jax.random.PRNGKey(99 + n))
+        ceil = distinct_ceiling(n, vocab)
+        out[n] = {
+            "node_acc": float(na), "edge_acc": float(ea),
+            "graph_acc": float(ga),
+            "ceiling_p_distinct": ceil,
+            "frac_distinct_measured": float(nd) / max(float(ng), 1.0),
+            "graph_acc_given_distinct": (float(okd) / max(float(nd), 1.0)),
+            "graph_acc_vs_ceiling": float(ga) / ceil,
+        }
     return out
 
 
@@ -105,7 +144,10 @@ def main():
                            dtype=dtype)
     for n, m in by_size.items():
         print(f"  n={n}: node {m['node_acc']:.4f}  edge {m['edge_acc']:.4f}"
-              f"  graph {m['graph_acc']:.4f}")
+              f"  graph {m['graph_acc']:.4f}  "
+              f"ceiling {m['ceiling_p_distinct']:.3f}  "
+              f"acc|distinct {m['graph_acc_given_distinct']:.4f}  "
+              f"vs-ceiling {m['graph_acc_vs_ceiling']:.3f}")
 
     if args.ckpt:
         from graphnets_tpu.training.checkpoint import CheckpointManager

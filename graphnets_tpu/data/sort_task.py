@@ -53,8 +53,16 @@ def gen_sample(rng: np.random.Generator, cfg: SortTaskConfig):
     return adj, x_nf, y_nf, y_ef, values
 
 
-def sort_pad_spec(cfg: SortTaskConfig) -> PadSpec:
-    """Static pad sizes covering the worst case so jit compiles once."""
+def sort_pad_spec(cfg: SortTaskConfig, uniform: bool = False) -> PadSpec:
+    """Static pad sizes covering the worst case so jit compiles once.
+
+    ``uniform=True``: the uniform slot layout (``PadSpec.uniform``) — every
+    graph slot owns ``max_nodes + 1`` node slots (one reserved padding
+    node, rounded up) and ``max_nodes**2`` edge slots (rounded up to a
+    lane multiple).  This sets ``slot_shape`` and makes the bf16 flagship's
+    core blocks eligible for the fused SDDMM edge-update kernel."""
+    if uniform:
+        return PadSpec.uniform(cfg.max_nodes + 1, cfg.max_nodes ** 2)
     max_n = cfg.batch_size * cfg.max_nodes
     max_e = cfg.batch_size * cfg.max_nodes ** 2
     return PadSpec(
@@ -81,6 +89,8 @@ def device_batch(key, cfg: SortTaskConfig,
     import jax.numpy as jnp
 
     pad = pad or sort_pad_spec(cfg)
+    if pad.per_slot:
+        return _device_batch_uniform(key, cfg, pad, dtype)
     B = cfg.batch_size
     NP, EP, GP = pad.num_nodes, pad.num_edges, pad.num_graphs
     assert GP >= B + 1 and NP >= B * cfg.max_nodes + 1
@@ -155,6 +165,88 @@ def device_batch(key, cfg: SortTaskConfig,
         n_node=n_node, n_edge=n_edge,
         node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
         gf=None, homogeneous=False,
+    )
+    x = GraphsTuple(ef=None, nf=x_nf, **common)
+    y = GraphsTuple(ef=y_ef, nf=y_nf, **common)
+    return x, y
+
+
+def _device_batch_uniform(key, cfg: SortTaskConfig, pad: PadSpec,
+                          dtype=None) -> Tuple[GraphsTuple, GraphsTuple]:
+    """Uniform-slot-layout variant of :func:`device_batch` — same sample
+    distribution and targets, laid out so graph slot ``b`` owns node slots
+    ``[b*ns, (b+1)*ns)`` and edge slots ``[b*es, (b+1)*es)`` (see
+    ``graph._batch_uniform``).  In bf16 this layout routes the core
+    blocks through the fused SDDMM edge-update kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    B = cfg.batch_size
+    ns, es = pad.num_nodes, pad.num_edges
+    GP = pad.num_graphs if pad.num_graphs is not None else B
+    assert GP >= B and ns > cfg.max_nodes and es >= cfg.max_nodes ** 2, (
+        "uniform sort layout needs one padding node per slot "
+        "(n_slots > max_nodes) and e_slots >= max_nodes^2")
+    V, MN = cfg.vocab_size, cfg.max_nodes
+    dtype = dtype or jnp.float32
+
+    kn, kv = jax.random.split(key)
+    n = jax.random.randint(kn, (B,), cfg.min_nodes, cfg.max_nodes + 1,
+                           dtype=jnp.int32)
+    n = jnp.concatenate([n, jnp.zeros((GP - B,), jnp.int32)])
+    values = jax.random.randint(kv, (B, MN), 1, V + 1, dtype=jnp.int32)
+    values = jnp.concatenate(
+        [values, jnp.ones((GP - B, MN), jnp.int32)], axis=0)
+
+    t = jnp.arange(GP * ns, dtype=jnp.int32)
+    slot = t // ns
+    li = t % ns
+    node_graph = slot
+    node_mask = li < n[slot]
+    val_node = values[slot, jnp.minimum(li, MN - 1)]
+
+    x_nf = jax.nn.one_hot(val_node - 1, V, dtype=dtype)
+    x_nf = jnp.where(node_mask[:, None], x_nf, 0)
+
+    big = V + 2
+    masked_val = jnp.where(node_mask, val_node, big)
+    graph_min = jax.ops.segment_min(masked_val, node_graph,
+                                    num_segments=GP,
+                                    indices_are_sorted=True)
+    is_min = (val_node == graph_min[node_graph]) & node_mask
+    y_nf = jax.nn.one_hot(is_min.astype(jnp.int32), 2, dtype=dtype)
+
+    # Stable sort rank within each slot: every slot holds exactly ns keyed
+    # entries (padding sorts after real via masked_val=big), so the first
+    # entry of slot b lands at global rank b*ns.
+    stride = (V + 3) * (ns + 1)
+    sort_key = node_graph * stride + masked_val * (ns + 1) + li
+    order = jnp.argsort(sort_key)
+    rank = jnp.argsort(order).astype(jnp.int32)
+    rank_w = rank - node_graph * ns
+
+    e = jnp.arange(GP * es, dtype=jnp.int32)
+    eslot = e // es
+    ke = e % es
+    nb = jnp.maximum(n[eslot], 1)
+    edge_mask = ke < n[eslot] * n[eslot]
+    recv_l = ke // nb
+    send_l = ke % nb
+    last = (eslot + 1) * ns - 1      # the slot's padding node
+    senders = jnp.where(edge_mask, eslot * ns + send_l, last)
+    receivers = jnp.where(edge_mask, eslot * ns + recv_l, last)
+
+    consecutive = (rank_w[senders] + 1 == rank_w[receivers]) & edge_mask
+    y_ef = jax.nn.one_hot(consecutive.astype(jnp.int32), 2, dtype=dtype)
+
+    common = dict(
+        senders=senders, receivers=receivers,
+        node_graph=node_graph, edge_graph=eslot,
+        n_node=n, n_edge=n * n,
+        node_mask=node_mask, edge_mask=edge_mask,
+        graph_mask=jnp.arange(GP, dtype=jnp.int32) < B,
+        gf=None, homogeneous=False,
+        slot_shape=(ns, es), pad_aliases_real=True,
     )
     x = GraphsTuple(ef=None, nf=x_nf, **common)
     y = GraphsTuple(ef=y_ef, nf=y_nf, **common)

@@ -159,8 +159,19 @@ class GraphsTuple:
     declaring a UNIFORM slot layout: graph slot ``b`` owns node slots
     ``[b*n_slots, (b+1)*n_slots)`` and edge slots ``[b*e_slots,
     (b+1)*e_slots)`` for EVERY graph slot.  ``batch()`` sets it for exact
-    homogeneous batches; it unlocks the fused SDDMM edge-update kernel
-    (``ops.pallas.edge_update``).  ``None`` = no uniformity claim.
+    homogeneous batches and for ``PadSpec.uniform`` batches; it unlocks the
+    fused SDDMM edge-update kernel (``ops.pallas.edge_update``).  ``None``
+    = no uniformity claim.
+
+    ``pad_aliases_real`` is static metadata set by the uniform layout when
+    padding exists: padded node/edge slots share their graph's segment id
+    (``node_graph``/``edge_graph`` equal the owning slot's graph, unlike the
+    default layout where all padding belongs to a dedicated padding graph).
+    Graph-level aggregations must then apply the node/edge masks — the
+    aggregation helpers in ``ops.scatter`` take a ``mask_aliases_real``
+    flag wired from here.  Edge->node aggregation stays mask-free: padded
+    edges target their slot's last node slot, which is a padding node by
+    the uniform-layout constraint.
     """
 
     senders: Array
@@ -177,6 +188,7 @@ class GraphsTuple:
     gf: Optional[Array] = None
     homogeneous: bool = False
     slot_shape: Optional[Tuple[int, int]] = None
+    pad_aliases_real: bool = False
 
     # -- pytree protocol ----------------------------------------------------
     _children = (
@@ -187,11 +199,12 @@ class GraphsTuple:
 
     def tree_flatten(self):
         return (tuple(getattr(self, k) for k in self._children),
-                (self.homogeneous, self.slot_shape))
+                (self.homogeneous, self.slot_shape, self.pad_aliases_real))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, homogeneous=aux[0], slot_shape=aux[1])
+        return cls(*children, homogeneous=aux[0], slot_shape=aux[1],
+                   pad_aliases_real=aux[2])
 
     # -- derived sizes ------------------------------------------------------
     @property
@@ -356,6 +369,9 @@ def batch(
     # --- padding to static bucket sizes ------------------------------------
     if pad is None:
         pad = PadSpec()
+    if pad.per_slot:
+        return _batch_uniform(adj_mats, n_node, n_edge, senders, receivers,
+                              ef_list, nf_list, gf_arr, pad, homogeneous)
     NP = pad.num_nodes if pad.num_nodes is not None else N
     EP = pad.num_edges if pad.num_edges is not None else E
     GP = pad.num_graphs if pad.num_graphs is not None else G
@@ -434,6 +450,124 @@ def batch(
     return out
 
 
+def _batch_uniform(adj_mats, n_node, n_edge, senders, receivers,
+                   ef_list, nf_list, gf_arr, pad: PadSpec,
+                   homogeneous: bool) -> GraphsTuple:
+    """Uniform slot layout (``PadSpec.uniform``): every graph slot owns
+    ``ns`` node slots and ``es`` edge slots, padding interleaved per slot.
+
+    Layout invariants (consumed by the fused SDDMM kernel,
+    ``ops.pallas.edge_update``, and by the sorted-segment-sum kernels):
+
+    * graph slot ``b`` owns nodes ``[b*ns, (b+1)*ns)`` and edges
+      ``[b*es, (b+1)*es)``; real slots are a prefix of each range;
+    * padded edges of slot ``b`` point (sender AND receiver) at slot ``b``'s
+      last node slot — a padding node (enforced: ``n_i < ns`` whenever
+      ``e_i < es``) — keeping ``receivers`` globally ascending and padded
+      aggregation targets disjoint from real ones;
+    * ``node_graph``/``edge_graph`` equal the owning slot for PADDING slots
+      too, so graph-level aggregations need the masks
+      (``pad_aliases_real=True``).
+    """
+    B = len(adj_mats)
+    ns, es = pad.num_nodes, pad.num_edges
+    GP = pad.num_graphs if pad.num_graphs is not None else B
+    if GP < B:
+        raise ValueError(f"PadSpec.uniform num_graphs={GP} < batch size {B}")
+    for i in range(B):
+        n_i, e_i = int(n_node[i]), int(n_edge[i])
+        if n_i > ns or e_i > es:
+            raise ValueError(
+                f"graph {i} ({n_i} nodes / {e_i} edges) exceeds the uniform "
+                f"slot capacity (n_slots={ns}, e_slots={es})")
+        if e_i < es and n_i >= ns:
+            raise ValueError(
+                f"graph {i} has padded edge slots ({e_i} < {es}) but no "
+                f"padding node ({n_i} == n_slots={ns}); padded edges must "
+                "target a padding node — raise n_slots by one")
+    if GP > B and ns < 1:
+        raise ValueError("padding graph slots require n_slots >= 1")
+
+    node_cum = np.concatenate([[0], np.cumsum(n_node)]).astype(np.int64)
+    slot_node_base = np.arange(B, dtype=np.int64) * ns
+    slot_edge_base = np.arange(B, dtype=np.int64) * es
+
+    # Real edge endpoints, re-based from the packed layout to slot offsets.
+    shift = (slot_node_base - node_cum[:-1]).astype(np.int64)
+    e_shift = np.repeat(shift, n_edge)
+    s_u = senders.astype(np.int64) + e_shift
+    r_u = receivers.astype(np.int64) + e_shift
+
+    # Every slot's padded endpoints start at the slot's last node slot.
+    last_node = (np.arange(GP, dtype=np.int64) * ns + ns - 1)
+    senders_u = np.repeat(last_node, es)
+    receivers_u = senders_u.copy()
+    epos = (np.repeat(slot_edge_base, n_edge)
+            + _ranges(n_edge)).astype(np.int64)
+    senders_u[epos] = s_u
+    receivers_u[epos] = r_u
+
+    node_graph = np.repeat(np.arange(GP, dtype=np.int32), ns)
+    edge_graph = np.repeat(np.arange(GP, dtype=np.int32), es)
+    loc_n = np.tile(np.arange(ns, dtype=np.int64), GP)
+    loc_e = np.tile(np.arange(es, dtype=np.int64), GP)
+    n_node_p = np.concatenate([n_node, np.zeros(GP - B, np.int32)])
+    n_edge_p = np.concatenate([n_edge, np.zeros(GP - B, np.int32)])
+    node_mask = loc_n < np.repeat(n_node_p.astype(np.int64), ns)
+    edge_mask = loc_e < np.repeat(n_edge_p.astype(np.int64), es)
+
+    def _place(lst: Optional[List[np.ndarray]], rows: int, base, counts):
+        if lst is None:
+            return None
+        flat = np.concatenate([np.asarray(v, np.float32) for v in lst],
+                              axis=0)
+        out = np.zeros((rows,) + flat.shape[1:], np.float32)
+        pos = (np.repeat(base, counts) + _ranges(counts)).astype(np.int64)
+        out[pos] = flat
+        return jnp.asarray(out)
+
+    gf = None
+    if gf_arr is not None:
+        gf_p = np.zeros((GP, gf_arr.shape[1]), np.float32)
+        gf_p[:B] = np.asarray(gf_arr, np.float32)
+        gf = jnp.asarray(gf_p)
+
+    padded = bool(GP > B or (~node_mask).any() or (~edge_mask).any())
+    out = GraphsTuple(
+        senders=jnp.asarray(senders_u.astype(np.int32)),
+        receivers=jnp.asarray(receivers_u.astype(np.int32)),
+        node_graph=jnp.asarray(node_graph),
+        edge_graph=jnp.asarray(edge_graph),
+        n_node=jnp.asarray(n_node_p),
+        n_edge=jnp.asarray(n_edge_p),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(np.arange(GP) < B),
+        ef=_place(ef_list, GP * es, slot_edge_base, n_edge),
+        nf=_place(nf_list, GP * ns, slot_node_base, n_node),
+        gf=gf,
+        homogeneous=homogeneous,
+        slot_shape=(ns, es),
+        pad_aliases_real=padded,
+    )
+    from .utils.config import debug_checks
+    if debug_checks():
+        from .utils.debug import validate_graph
+        validate_graph(out)
+    return out
+
+
+def _ranges(counts) -> np.ndarray:
+    """``concat([arange(c) for c in counts])`` without a Python loop."""
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts,
+                                                        counts)
+
+
 # ---------------------------------------------------------------------------
 # Host-side unbatching & views
 # ---------------------------------------------------------------------------
@@ -444,12 +578,21 @@ def _np(x) -> np.ndarray:
 
 
 def _host_meta(g: GraphsTuple):
+    """Per-graph (count, slot-offset) metadata.  ``node_off[i]`` is where
+    graph ``i``'s real nodes START; its real nodes span
+    ``[node_off[i], node_off[i] + n_node[i])`` (NOT ``node_off[i+1]``,
+    which may include interleaved padding in the uniform slot layout)."""
     n_node = _np(g.n_node)
     n_edge = _np(g.n_edge)
     gm = _np(g.graph_mask)
     B = int(gm.sum())
-    node_off = np.concatenate([[0], np.cumsum(n_node)]).astype(np.int64)
-    edge_off = np.concatenate([[0], np.cumsum(n_edge)]).astype(np.int64)
+    if g.slot_shape is not None:
+        ns, es = g.slot_shape
+        node_off = (np.arange(len(n_node) + 1, dtype=np.int64) * ns)
+        edge_off = (np.arange(len(n_edge) + 1, dtype=np.int64) * es)
+    else:
+        node_off = np.concatenate([[0], np.cumsum(n_node)]).astype(np.int64)
+        edge_off = np.concatenate([[0], np.cumsum(n_edge)]).astype(np.int64)
     return B, n_node, n_edge, node_off, edge_off
 
 
@@ -461,7 +604,7 @@ def adjacency_matrices(g: GraphsTuple) -> List[np.ndarray]:
     for i in range(B):
         n = int(n_node[i])
         a = np.zeros((n, n), dtype=np.int64)
-        es, ee = edge_off[i], edge_off[i + 1]
+        es, ee = edge_off[i], edge_off[i] + int(n_edge[i])
         a[s[es:ee] - node_off[i], r[es:ee] - node_off[i]] = 1
         mats.append(a)
     return mats
@@ -481,9 +624,11 @@ def unbatch(g: GraphsTuple) -> dict:
     gf = _np(g.gf) if g.gf is not None else None
 
     ef_l = (None if ef is None else
-            [ef[edge_off[i]:edge_off[i + 1]] for i in range(B)])
+            [ef[edge_off[i]:edge_off[i] + int(n_edge[i])]
+             for i in range(B)])
     nf_l = (None if nf is None else
-            [nf[node_off[i]:node_off[i + 1]] for i in range(B)])
+            [nf[node_off[i]:node_off[i] + int(n_node[i])]
+             for i in range(B)])
     gf_l = None if gf is None else [gf[i] for i in range(B)]
 
     if g.homogeneous:
@@ -542,6 +687,11 @@ def flat_unpadded_nf(g: GraphsTuple) -> Array:
     ``graphnets_tpu.training.losses``).
     """
     assert g.nf is not None
+    if g.pad_aliases_real:
+        # Uniform layout: padding interleaves per slot — select by mask
+        # (still differentiable: a take by precomputed host indices).
+        idx = np.nonzero(_np(g.node_mask))[0]
+        return jnp.take(g.nf, jnp.asarray(idx), axis=0)
     return g.nf[:_real_count(g.node_mask, "nf")]
 
 
@@ -550,6 +700,9 @@ def flat_unpadded_ef(g: GraphsTuple) -> Array:
     (``/root/reference/src/views.jl:90-98``).  Host-side; see
     :func:`flat_unpadded_nf` for the jit caveat."""
     assert g.ef is not None
+    if g.pad_aliases_real:
+        idx = np.nonzero(_np(g.edge_mask))[0]
+        return jnp.take(g.ef, jnp.asarray(idx), axis=0)
     return g.ef[:_real_count(g.edge_mask, "ef")]
 
 
@@ -578,7 +731,7 @@ def _collapse_indices(g: GraphsTuple):
     out = []
     for b in range(B):
         n = int(n_node[b])
-        es, ee = edge_off[b], edge_off[b + 1]
+        es, ee = edge_off[b], edge_off[b] + int(n_edge[b])
         # Map (local i, j) -> edge index within this graph.
         pos = {(int(si - node_off[b]), int(ri - node_off[b])): int(k)
                for k, (si, ri) in enumerate(zip(s[es:ee], r[es:ee]))}
@@ -603,7 +756,7 @@ def collapse_ef(g: GraphsTuple) -> List[np.ndarray]:
     ef = _np(g.ef)
     outs = []
     for b, (fwd, rev, selfloop) in enumerate(info):
-        base = ef[edge_off[b]:edge_off[b + 1]]
+        base = ef[edge_off[b]:]  # fwd/rev index the real-edge prefix
         f = base[fwd] if len(fwd) else np.zeros((0, ef.shape[1]), ef.dtype)
         rv = np.where((rev >= 0)[:, None], base[np.maximum(rev, 0)], 0.0) \
             if len(fwd) else f
@@ -634,7 +787,7 @@ def collapse_ef_padded(g: GraphsTuple) -> np.ndarray:
     PN = int(n_node.max()) if B else 0
     dense = np.zeros((B, PN, PN, DE), ef.dtype)
     for b in range(B):
-        es, ee = edge_off[b], edge_off[b + 1]
+        es, ee = edge_off[b], edge_off[b] + int(n_edge[b])
         dense[b, s[es:ee] - node_off[b], r[es:ee] - node_off[b]] = ef[es:ee]
     sym = (dense + np.swapaxes(dense, 1, 2)) / 2.0
     # Self-loop diagonal: collapser column (i,i) has weight 2 -> value = ef.

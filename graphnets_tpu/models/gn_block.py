@@ -99,9 +99,11 @@ def get_graph_fn_input(g: GraphsTuple, ef=..., nf=..., gf=...) -> Array:
     assert ef is not None and nf is not None
     parts = [
         scatter.aggregate_edges_for_globals(
-            ef, g.edge_graph, g.num_graph_slots, g.edge_mask),
+            ef, g.edge_graph, g.num_graph_slots, g.edge_mask,
+            mask_aliases_real=g.pad_aliases_real),
         scatter.aggregate_nodes_for_globals(
-            nf, g.node_graph, g.num_graph_slots, g.node_mask),
+            nf, g.node_graph, g.num_graph_slots, g.node_mask,
+            mask_aliases_real=g.pad_aliases_real),
     ]
     if gf is not None:
         parts.append(gf)

@@ -59,13 +59,17 @@ def _host_check_sorted_pad_safe(seg, mask):
     if mask is not None:
         mask = np.asarray(mask)
         real, padded = seg[mask], seg[~mask]
-        if len(real) and len(padded) and real.max() >= padded.min():
-            raise ValueError(
-                "segment_sum(sorted_pad_safe=True): padded rows target a "
-                f"segment ({padded.min()}) that real rows also target "
-                f"(real ids go up to {real.max()}) — padding would leak "
-                "into real outputs. batch() guarantees padded edges point "
-                "at a padding node; check custom GraphsTuple construction.")
+        if len(real) and len(padded):
+            overlap = np.intersect1d(np.unique(real), np.unique(padded))
+            if overlap.size:
+                raise ValueError(
+                    "segment_sum(sorted_pad_safe=True): padded rows target "
+                    f"segment(s) {overlap[:8].tolist()} that real rows also "
+                    "target — padding would leak into real outputs. "
+                    "batch() guarantees padded edges point at a padding "
+                    "node (in the uniform slot layout, each slot's own "
+                    "last node slot); check custom GraphsTuple "
+                    "construction.")
 
 
 def _check_sorted_pad_safe(seg, mask):
@@ -264,19 +268,33 @@ def aggregate_edges_for_nodes(ef: Array, receivers: Array, num_nodes: int,
 
 
 def aggregate_edges_for_globals(ef: Array, edge_graph: Array, num_graphs: int,
-                                edge_mask: Optional[Array]) -> Array:
+                                edge_mask: Optional[Array],
+                                mask_aliases_real: bool = False) -> Array:
     """Sum-pool over real edges per graph — replaces
     ``batched_mul(ef, edge2graph_broadcaster)``
-    (``/root/reference/src/graphfninput.jl:3``)."""
+    (``/root/reference/src/graphfninput.jl:3``).
+
+    ``mask_aliases_real`` (``GraphsTuple.pad_aliases_real``): the uniform
+    slot layout gives padded edges their owning slot's graph id, so the
+    mask is load-bearing here — zero the padded rows BEFORE the sorted
+    reduction (sharing a segment with zeros is then harmless)."""
+    if mask_aliases_real and edge_mask is not None:
+        ef = _mask_rows(ef, edge_mask)
+        edge_mask = None
     return segment_sum(ef, edge_graph, num_graphs, edge_mask,
                        indices_are_sorted=True, sorted_pad_safe=True)
 
 
 def aggregate_nodes_for_globals(nf: Array, node_graph: Array, num_graphs: int,
-                                node_mask: Optional[Array]) -> Array:
+                                node_mask: Optional[Array],
+                                mask_aliases_real: bool = False) -> Array:
     """Sum-pool over real nodes per graph — replaces
     ``batched_mul(nf, node2graph_broadcaster)``
-    (``/root/reference/src/graphfninput.jl:4``)."""
+    (``/root/reference/src/graphfninput.jl:4``).  See
+    :func:`aggregate_edges_for_globals` for ``mask_aliases_real``."""
+    if mask_aliases_real and node_mask is not None:
+        nf = _mask_rows(nf, node_mask)
+        node_mask = None
     return segment_sum(nf, node_graph, num_graphs, node_mask,
                        indices_are_sorted=True, sorted_pad_safe=True)
 

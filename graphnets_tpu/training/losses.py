@@ -21,7 +21,8 @@ from ..graph import GraphsTuple
 Array = jax.Array
 
 __all__ = ["masked_logit_crossentropy", "sort_task_loss",
-           "graph_loss_nf_ef", "masked_accuracy", "graph_accuracy"]
+           "graph_loss_nf_ef", "masked_accuracy", "graph_accuracy",
+           "per_graph_correct"]
 
 
 def masked_logit_crossentropy(logits: Array, targets: Array,
@@ -48,9 +49,10 @@ def graph_loss_nf_ef(pred: GraphsTuple, target: GraphsTuple) -> Array:
 sort_task_loss = graph_loss_nf_ef
 
 
-def graph_accuracy(pred: GraphsTuple, target: GraphsTuple) -> Array:
-    """Fraction of real graphs whose EVERY real node and edge prediction is
-    correct — the task-level accuracy the flagship sort run reports."""
+def per_graph_correct(pred: GraphsTuple, target: GraphsTuple) -> Array:
+    """``[G]`` int32: 1 where EVERY real node and edge prediction of the
+    graph is correct (garbage on padding graph slots — mask with
+    ``graph_mask``)."""
     G = pred.num_graph_slots
 
     def per_graph_all_correct(logits, targets, mask, seg):
@@ -61,8 +63,14 @@ def graph_accuracy(pred: GraphsTuple, target: GraphsTuple) -> Array:
 
     g_ok = per_graph_all_correct(pred.nf, target.nf, pred.node_mask,
                                  pred.node_graph)
-    g_ok = g_ok * per_graph_all_correct(pred.ef, target.ef, pred.edge_mask,
+    return g_ok * per_graph_all_correct(pred.ef, target.ef, pred.edge_mask,
                                         pred.edge_graph)
+
+
+def graph_accuracy(pred: GraphsTuple, target: GraphsTuple) -> Array:
+    """Fraction of real graphs whose EVERY real node and edge prediction is
+    correct — the task-level accuracy the flagship sort run reports."""
+    g_ok = per_graph_correct(pred, target)
     gm = pred.graph_mask.astype(jnp.float32)
     return jnp.sum(g_ok.astype(jnp.float32) * gm) / jnp.maximum(
         jnp.sum(gm), 1.0)

@@ -142,12 +142,12 @@ def train_sort(
 
 def evaluate_sort(model: Module, params, cfg: SortTaskConfig,
                   n_batches: int = 256, seed: int = 1234,
-                  dtype=None) -> dict:
+                  dtype=None, uniform: bool = False) -> dict:
     """Task accuracy on freshly generated batches (device-side generation,
     one compiled scan — no per-batch dispatch).  Returns mean node / edge /
     graph accuracy; ``graph_acc`` is the flagship convergence criterion
     (every node AND edge in a graph predicted correctly)."""
-    pad = sort_pad_spec(cfg)
+    pad = sort_pad_spec(cfg, uniform=uniform)
 
     @jax.jit
     def run(key):
@@ -179,13 +179,16 @@ def train_sort_device(
     dtype=None,
     model: Optional[Module] = None,
     eval_batches: int = 256,
+    uniform: bool = False,
 ) -> SortTrainResult:
     """The flagship recipe (``/root/reference/examples/sort/sort.jl:86-89,
     116-120``) with the whole loop on device: batches are generated inside
     jit (:func:`device_batch`) and ``chunk`` steps run per ``lax.scan``
     dispatch — through the TPU tunnel this is ~100x fewer host round trips
     than a step-per-dispatch loop.  ``dtype`` casts activations (params stay
-    f32; pass ``jnp.bfloat16`` for bf16 compute).
+    f32; pass ``jnp.bfloat16`` for bf16 compute).  ``uniform=True`` uses the
+    uniform slot layout (in bf16 the core blocks then run the fused SDDMM
+    edge-update kernel).
     """
     if model is None:
         model = EncodeProcessDecode(
@@ -193,7 +196,7 @@ def train_sort_device(
             y_dims=(2, 2, 0), n_cores=n_cores)
     optimizer = optax.adamw(learning_rate)
     state = TrainState.create(model, optimizer, jax.random.PRNGKey(seed))
-    pad = sort_pad_spec(cfg)
+    pad = sort_pad_spec(cfg, uniform=uniform)
     step_core = make_train_step(model, optimizer)
 
     def body(state, _):

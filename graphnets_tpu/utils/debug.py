@@ -71,9 +71,29 @@ def validate_graph(g: GraphsTuple) -> None:
     if em.any():
         assert nm[s[em]].all() and nm[r[em]].all(), (
             "real edge references a padded node")
-    # real slots are contiguous at the front (big-graph layout invariant)
-    assert (~nm[: int(nm.sum())]).sum() == 0
-    assert (~em[: int(em.sum())]).sum() == 0
+    if g.slot_shape is not None and g.pad_aliases_real:
+        # Uniform slot layout: real slots are a PREFIX of each graph slot's
+        # range, and padded edges target their own slot's last node slot.
+        ns, es = g.slot_shape
+        assert N % ns == 0 and E % es == 0 and N // ns == E // es == G
+        for b in range(G):
+            nmb = nm[b * ns:(b + 1) * ns]
+            emb = em[b * es:(b + 1) * es]
+            assert (~nmb[: int(nmb.sum())]).sum() == 0, (
+                f"slot {b}: real nodes not a prefix")
+            assert (~emb[: int(emb.sum())]).sum() == 0, (
+                f"slot {b}: real edges not a prefix")
+            pad_e = em[b * es:(b + 1) * es] == False  # noqa: E712
+            if pad_e.any():
+                tgt = s[b * es:(b + 1) * es][pad_e]
+                assert (tgt == (b + 1) * ns - 1).all() and not nm[
+                    (b + 1) * ns - 1], (
+                    f"slot {b}: padded edges must target the slot's last "
+                    "(padding) node slot")
+    else:
+        # real slots are contiguous at the front (big-graph layout invariant)
+        assert (~nm[: int(nm.sum())]).sum() == 0
+        assert (~em[: int(em.sum())]).sum() == 0
     for f, count, what in ((g.ef, E, "ef"), (g.nf, N, "nf"),
                            (g.gf, G, "gf")):
         if f is not None:

@@ -514,8 +514,9 @@ def test_partitioned_stack_forward_matches_single_device(cpu_devices):
 
 def test_partitioned_stack_training_matches_single_device(cpu_devices):
     """Edge-partitioned train step (loss + grads through the halo/psum
-    collectives + AdamW) == the single-device train step: params equal after
-    3 steps on the same data."""
+    collectives + AdamW) == the single-device train step: loss trajectory
+    AND params equal over 20 steps at dims (64, 64, 64) — long enough for
+    drift through the halo collectives to surface if present."""
     import optax
 
     from graphnets_tpu.parallel.edge_partition import (build_halo_plan,
@@ -525,9 +526,10 @@ def test_partitioned_stack_training_matches_single_device(cpu_devices):
     from graphnets_tpu.training.losses import graph_loss_nf_ef
 
     S = 4
+    STEPS = 20
     mesh = _mesh(cpu_devices, S, names=("graph",))
     rng = np.random.default_rng(43)
-    N, deg, vocab = 32, 3, 8
+    N, deg, vocab = 64, 4, 8
     E = N * deg
     senders = rng.integers(0, N, size=E).astype(np.int32)
     receivers = rng.integers(0, N, size=E).astype(np.int32)
@@ -535,9 +537,10 @@ def test_partitioned_stack_training_matches_single_device(cpu_devices):
     y_nf = np.eye(2, dtype=np.float32)[rng.integers(0, 2, N)]
     y_ef = np.eye(2, dtype=np.float32)[rng.integers(0, 2, E)]
 
-    model = EncodeProcessDecode(x_dims=(0, vocab, 0), core_dims=(8, 8, 8),
+    model = EncodeProcessDecode(x_dims=(0, vocab, 0),
+                                core_dims=(64, 64, 64),
                                 y_dims=(2, 2, 0), n_cores=2)
-    optimizer = optax.adamw(1e-3)
+    optimizer = optax.adamw(1e-4)
 
     # --- single-device reference -----------------------------------------
     g = gn.GraphsTuple(
@@ -551,9 +554,10 @@ def test_partitioned_stack_training_matches_single_device(cpu_devices):
     y = g.with_features(ef=jnp.asarray(y_ef), nf=jnp.asarray(y_nf), gf=None)
 
     state_ref = TrainState.create(model, optimizer, jax.random.PRNGKey(44))
-    step_ref = make_train_step(model, optimizer, loss_fn=graph_loss_nf_ef)
+    step_ref = jax.jit(make_train_step(model, optimizer,
+                                       loss_fn=graph_loss_nf_ef))
     losses_ref = []
-    for _ in range(3):
+    for _ in range(STEPS):
         state_ref, m = step_ref(state_ref, g, y)
         losses_ref.append(float(m["loss"]))
 
@@ -569,15 +573,17 @@ def test_partitioned_stack_training_matches_single_device(cpu_devices):
     step_p = jax.jit(make_partitioned_train_step(model, optimizer, plan,
                                                  mesh))
     losses_p = []
-    for _ in range(3):
+    for _ in range(STEPS):
         state_p, m = step_p(state_p, pg, pg_y.nf, pg_y.ef)
         losses_p.append(float(m["loss"]))
 
-    np.testing.assert_allclose(losses_p, losses_ref, rtol=1e-5, atol=1e-6)
+    # rtol 5e-4: pure f32 accumulation-order drift compounds over 20 steps
+    # (per-step agreement is ~1e-6 rel; a real collective bug shows as O(1))
+    np.testing.assert_allclose(losses_p, losses_ref, rtol=5e-4, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(state_p.params),
                     jax.tree_util.tree_leaves(state_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_pipeline_gradient_equality(cpu_devices):
