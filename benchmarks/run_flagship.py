@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform slot layout (PadSpec.uniform): in bf16 "
+                    "the core blocks run the fused SDDMM edge-update "
+                    "kernel")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -128,7 +132,7 @@ def main():
     res = train_sort_device(
         steps=args.steps, cfg=cfg, core_dims=(384, 384, 384), n_cores=2,
         learning_rate=lr, seed=args.seed, chunk=args.chunk, dtype=dtype,
-        log_fn=logger.write)
+        uniform=args.uniform, log_fn=logger.write)
     wall = time.time() - t0
 
     print(f"trained {args.steps} steps ({args.dtype}) in {wall:.1f}s "
@@ -137,7 +141,7 @@ def main():
           f"{ {k: round(v, 4) for k, v in res.metrics.items()} }")
 
     ev = evaluate_sort(res.model, res.state.params, cfg, n_batches=1024,
-                       dtype=dtype)
+                       dtype=dtype, uniform=args.uniform)
     print(f"eval (4096 fresh graphs, n in [2,10]): "
           f"{ {k: round(v, 4) for k, v in ev.items()} }")
     by_size = eval_by_size(res.model, res.state.params, cfg.vocab_size,
