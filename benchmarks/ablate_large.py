@@ -87,10 +87,17 @@ PIECES = {
     "segsum_xla": lambda e, n: (e, jax.ops.segment_sum(
         e.astype(jnp.float32), receivers, num_segments=N,
         indices_are_sorted=True).astype(e.dtype) @ W0 + n @ W0),
+    "gather_r_pallas": lambda e, n: (
+        e + __import__("graphnets_tpu.ops.pallas.gather",
+                       fromlist=["sorted_gather"]).sorted_gather(
+            n, receivers), n),
+    "gather_r_xla": lambda e, n: (
+        e + jnp.take(n, receivers, axis=0, indices_are_sorted=True), n),
     "ff_edges_fused": lambda e, n: (ff_fused(e), n),
     "ff_edges_xla": lambda e, n: (ff_xla(e), n),
     "ff_nodes_fused": lambda e, n: (e, ff_fused(n)),
     "residuals": lambda e, n: (e + e, n + n),
+    "coupling": lambda e, n: (e, n),
 }
 
 
@@ -100,6 +107,13 @@ def timed(step):
         def f(c):
             def body(c, _):
                 e, n = step(*c)
+                # Couple e to n so NEITHER carry is loop-invariant: pieces
+                # that leave e untouched (segsum_*, ff_nodes) would
+                # otherwise have their e-consuming op hoisted out of the
+                # scan by LICM and report ~0.  Cost of the coupling itself
+                # is the "coupling" piece — subtract it.
+                e = e + n[:1].astype(e.dtype) * jnp.float32(1e-3).astype(
+                    e.dtype)
                 return (e.astype(DTYPE), n.astype(DTYPE)), None
             c2, _ = jax.lax.scan(body, c, None, length=length)
             return sum(jnp.sum(x.astype(jnp.float32)) for x in c2)

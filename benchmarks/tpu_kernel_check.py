@@ -126,6 +126,24 @@ def main():
     orc = oracle(m_winsum, x.astype(jnp.float32))
     record("windowed_segment_sum/bf16", out.astype(jnp.float32), ref, orc)
 
+    # -- sorted gather (receiver-term forward; transpose of segsum) ---------
+    # Each output row passes through exactly one one-hot product with f32
+    # accumulate, so the kernel should match jnp.take EXACTLY (gate is the
+    # harness floor).
+    from graphnets_tpu.ops.pallas.gather import sorted_gather
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        tab = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), dtype)
+        out = jax.jit(lambda t: sorted_gather(t, seg))(tab)
+        ref = jnp.take(tab, seg, axis=0, indices_are_sorted=True)
+
+        def m_gather(t):
+            return jnp.take(t, jnp.asarray(seg_np), axis=0)
+
+        orc = oracle(m_gather, tab.astype(jnp.float32))
+        record(f"sorted_gather/{tag}", out.astype(jnp.float32),
+               ref.astype(jnp.float32), orc,
+               bf16_out=(dtype == jnp.bfloat16))
+
     # -- fused LN-FFN-residual fwd + bwd ------------------------------------
     from graphnets_tpu.ops.pallas.fused_ffn import (ln_ffn_residual,
                                                     ln_ffn_residual_reference)

@@ -149,13 +149,22 @@ def _linear_split(params, out_dtype, terms, rows):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if idx is not None:
-            # Gather the f32 partials directly: rounding them to bf16 here
-            # would make the split path LESS accurate than the fused concat
-            # formulation (which keeps every per-row dot in f32 end to
-            # end).  The gather's backward scatter-add runs sorted (Pallas
-            # kernel) instead of as an XLA serial scatter; for canonically
-            # sorted index arrays (receivers / edge_graph / node_graph) the
-            # per-step argsort is skipped too.
+            # Partials gather in f32 by default (rounding them to bf16
+            # would make the split path slightly less accurate than the
+            # fused concat formulation, which keeps every per-row dot in
+            # f32 end to end) — EXCEPT for large bandwidth-bound gathers,
+            # where bf16 partials halve the dominant HBM streams
+            # (config.bf16_gather_partials; <=3 extra bf16 roundings per
+            # element).  The gather's backward scatter-add runs sorted
+            # (Pallas kernel) instead of as an XLA serial scatter; for
+            # canonically sorted index arrays (receivers / edge_graph /
+            # node_graph) the per-step argsort is skipped too, and the
+            # forward gather itself runs as the Pallas windowed one-hot
+            # kernel (ops/pallas/gather.py).
+            from ..utils.config import bf16_gather_partials
+            if (x.dtype == jnp.bfloat16
+                    and bf16_gather_partials(idx.shape[0])):
+                y = y.astype(jnp.bfloat16)
             y = scatter.take_rows_sorted_grad(y, idx, idx_sorted, windows)
         acc = y.astype(jnp.float32) if acc is None \
             else acc + y.astype(jnp.float32)

@@ -231,8 +231,11 @@ def _ss_fwd(x, seg, num_segments):
 
 
 def _ss_bwd(num_segments, seg, g):
-    # d segment_sum / d x = gather by segment id; seg gets a zero tangent.
-    return (jnp.take(g, seg, axis=0, mode="clip"),
+    # d segment_sum / d x = gather by (sorted) segment id; seg gets a zero
+    # tangent.  The Pallas sorted-gather kernel is the exact transpose of
+    # this kernel (gather.py) — use it for the cotangent expansion too.
+    from .gather import sorted_gather
+    return (sorted_gather(g, seg),
             jnp.zeros(seg.shape, jax.dtypes.float0))
 
 

@@ -29,6 +29,15 @@ class Config:
     # cotangent rows once, reduce with the sorted-segment-sum kernel)
     # instead of XLA's serial scatter.
     sorted_scatter_grad: bool = True
+    # Round the partial products of GATHERED split-linear terms to bf16
+    # before the E-row gather (models/gn_block._linear_split).  Halves the
+    # dominant HBM streams of the non-uniform edge update at large E at the
+    # cost of <=3 extra bf16 roundings per output element vs the concat
+    # formulation's single rounding (only bf16 inputs are affected; f32
+    # partials always gather in f32).  None = "auto": on when the gather
+    # writes >= bf16_gather_rows rows, where the op is bandwidth-bound.
+    bf16_gather_partials: Optional[bool] = None
+    bf16_gather_rows: int = 1 << 17
     # Debug-mode invariant checks (GRAPHNETS_TPU_DEBUG=1): structural
     # validation in batch(), and sortedness / pad-targets-pad enforcement
     # in segment_sum(sorted_pad_safe=True) — the precondition the Pallas
@@ -44,11 +53,19 @@ def _env_pallas() -> Optional[bool]:
     return v == "1"
 
 
+def _env_tristate(name: str) -> Optional[bool]:
+    v = os.environ.get(name, "auto").lower()
+    if v in ("auto", ""):
+        return None
+    return v == "1"
+
+
 _config = Config(
     use_pallas=_env_pallas(),
     pallas_interpret=os.environ.get("GRAPHNETS_TPU_PALLAS_INTERPRET",
                                     "0") == "1",
     split_linear=os.environ.get("GRAPHNETS_TPU_SPLIT_LINEAR", "1") == "1",
+    bf16_gather_partials=_env_tristate("GRAPHNETS_TPU_BF16_GATHER"),
     debug_checks=os.environ.get("GRAPHNETS_TPU_DEBUG", "0") == "1",
 )
 
@@ -66,7 +83,12 @@ def get_config() -> Config:
 def _backend_is_tpu() -> bool:
     import jax
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu":
+            return True
+        # Tunneled / plugin TPU backends register under other platform
+        # names (e.g. "axon") — detect by device kind.
+        return any("tpu" in d.device_kind.lower()
+                   for d in jax.devices())
     except Exception:
         return False
 
@@ -85,6 +107,12 @@ def enable_pallas(flag: bool = True, interpret: Optional[bool] = None):
     _config.use_pallas = flag
     if interpret is not None:
         _config.pallas_interpret = interpret
+
+
+def bf16_gather_partials(rows: int) -> bool:
+    if _config.bf16_gather_partials is None:
+        return rows >= _config.bf16_gather_rows
+    return _config.bf16_gather_partials
 
 
 def debug_checks() -> bool:

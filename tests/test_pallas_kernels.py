@@ -446,3 +446,113 @@ def test_gnblock_fused_edge_update_matches_split(interpret_mode):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [(512, 64), (1024, 32), (256, 256)])
+def test_sorted_gather_matches(interpret_mode, dtype, shape):
+    """Pallas sorted gather == jnp.take for ascending ids, including
+    duplicate-heavy and sparse (gappy) id patterns."""
+    from graphnets_tpu.ops.pallas.gather import (sorted_gather,
+                                                 supports_sorted_gather)
+    E, N = shape
+    d = 128
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32), dtype)
+    idx = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    assert supports_sorted_gather(E, N, d)
+    out = sorted_gather(table, idx)
+    ref = jnp.take(table, idx, axis=0)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_sorted_gather_extremes(interpret_mode):
+    """One repeated id (span 1 per tile) and a strictly-increasing gappy
+    id pattern (span >> TE per tile: multi-chunk dynamic loop)."""
+    from graphnets_tpu.ops.pallas.gather import sorted_gather
+    d = 128
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(2048, d)).astype(np.float32))
+    for idx_np in (
+        np.zeros(256, np.int32),                       # all one row
+        np.full(256, 2047, np.int32),                  # all last row
+        np.sort(rng.choice(2048, size=512, replace=False)).astype(np.int32),
+    ):
+        out = sorted_gather(table, jnp.asarray(idx_np))
+        ref = jnp.take(table, jnp.asarray(idx_np), axis=0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sorted_gather_grad(interpret_mode):
+    """d/d table of sorted_gather == autodiff of jnp.take (scatter-add of
+    the cotangent by id)."""
+    from graphnets_tpu.ops.pallas.gather import sorted_gather
+    d, E, N = 128, 256, 64
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    idx = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+
+    g1 = jax.vjp(lambda t: sorted_gather(t, idx), table)[1](ct)[0]
+    g2 = jax.vjp(lambda t: jnp.take(t, idx, axis=0), table)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sorted_gather_unsupported_fallback(interpret_mode):
+    from graphnets_tpu.ops.pallas.gather import (sorted_gather,
+                                                 supports_sorted_gather)
+    # dim not lane-aligned / E not tileable / table too small -> jnp.take
+    assert not supports_sorted_gather(512, 64, 100)
+    assert not supports_sorted_gather(100, 64, 128)
+    assert not supports_sorted_gather(512, 7, 128)
+    table = jnp.ones((7, 128))
+    idx = jnp.zeros((512,), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(sorted_gather(table, idx)),
+                                  np.ones((512, 128)))
+
+
+def test_bf16_gather_partials_gating():
+    """Size-gated bf16 partial gathers: forced-on rounds gathered split
+    partials to bf16 (result within bf16 tolerance of the f32-partial
+    path); auto keeps small gathers in f32 (bit-identical outputs)."""
+    import graphnets_tpu as gn
+    from graphnets_tpu.models.gn_block import GNBlock
+    from graphnets_tpu.utils.config import get_config
+
+    rng = np.random.default_rng(3)
+    adjs = [(rng.random((5, 5)) < 0.5).astype(np.int64) for _ in range(3)]
+    for a in adjs:
+        a[0, 1] = 1                     # at least one edge per graph
+    gt = gn.batch({
+        "graphs": adjs,
+        "ef": [rng.normal(size=(int((a == 1).sum()), 8)).astype(np.float32)
+               for a in adjs],
+        "nf": [rng.normal(size=(5, 8)).astype(np.float32) for _ in adjs],
+        "gf": np.stack([rng.normal(size=8).astype(np.float32)
+                        for _ in adjs]),
+    })
+    gt = gt.with_features(
+        ef=gt.ef.astype(jnp.bfloat16), nf=gt.nf.astype(jnp.bfloat16),
+        gf=gt.gf.astype(jnp.bfloat16))
+    block = GNBlock((8, 8, 8), (8, 8, 8))
+    params = block.init(jax.random.PRNGKey(0))
+
+    cfg = get_config()
+    old = cfg.bf16_gather_partials
+    try:
+        cfg.bf16_gather_partials = False
+        y_f32 = block.apply(params, gt)
+        cfg.bf16_gather_partials = None      # auto: small -> f32 partials
+        y_auto = block.apply(params, gt)
+        cfg.bf16_gather_partials = True
+        y_bf16 = block.apply(params, gt)
+    finally:
+        cfg.bf16_gather_partials = old
+
+    np.testing.assert_array_equal(np.asarray(y_auto.ef, np.float32),
+                                  np.asarray(y_f32.ef, np.float32))
+    np.testing.assert_allclose(np.asarray(y_bf16.ef, np.float32),
+                               np.asarray(y_f32.ef, np.float32),
+                               rtol=5e-2, atol=5e-2)
