@@ -90,7 +90,7 @@ def main():
     batches = []
     t0 = time.perf_counter()
     it = sampler.epoch(train_nodes)
-    for _ in range(24):
+    for _ in range(6):
         b = next(it)
         batches.append(b)
     t_sample = (time.perf_counter() - t0) / len(batches)
@@ -118,13 +118,17 @@ def main():
 
     # -- e2e over DISTINCT preloaded batches (honest harness) --------------
     # The earlier per-dispatch host loop measured tunnel latency, not the
-    # pipeline (RESULTS.md's own warning).  Here the 24 distinct sampled
+    # pipeline (RESULTS.md's own warning).  Here the distinct sampled
     # batches are stacked on device and the step cycles through them inside
     # the same in-jit-scan differencing harness — so the number includes
     # per-batch variation (different subgraph shapes' gathers) but no
     # dispatch/readback artifacts.  End-to-end throughput for a prefetching
     # pipeline (data/prefetch.py overlaps host sampling with device steps)
-    # is then bounded by max(sampler, device step).
+    # is then bounded by max(sampler, device step).  The stack rides in the
+    # scan CARRY (a jit input, streamed as device buffers), NOT as a
+    # closure constant — constants are baked into the serialized HLO and a
+    # 6 x ~50 MB graph stack blows the tunnel's remote_compile upload
+    # limit (HTTP 413, observed with 24 closure batches).
     import jax.tree_util as jtu
     K = len(batches)
     stacked = jtu.tree_map(
@@ -133,19 +137,20 @@ def main():
           for b in batches])
 
     def cycle_step(carry):
-        params, opt_state, i = carry
+        params, opt_state, i, stk = carry
         xs = jtu.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, i % K, 0,
-                                                   keepdims=False), stacked)
+                                                   keepdims=False), stk)
         gr, lab, lm, si = xs
         params, opt_state, _ = step(params, opt_state, gr, lab, lm, si)
-        return (params, opt_state, i + 1)
+        return (params, opt_state, i + 1, stk)
 
     t_cycle = time_iterated(cycle_step,
-                            (params, opt_state, jnp.zeros((), jnp.int32)),
-                            l1=3, l2=24)
+                            (params, opt_state, jnp.zeros((), jnp.int32),
+                             stacked),
+                            l1=3, l2=18)
     t_e2e = max(t_sample, t_cycle)
-    print(f"# device step (cycling 24 distinct batches): "
+    print(f"# device step (cycling {K} distinct batches): "
           f"{t_cycle*1e3:.2f} ms", file=sys.stderr)
     print(f"# pipelined e2e bound = max(sampler, device) = "
           f"{t_e2e*1e3:.1f} ms/step  {BATCH/t_e2e:.0f} seeds/s",
