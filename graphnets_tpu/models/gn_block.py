@@ -126,10 +126,12 @@ def _linear_split(params, out_dtype, terms, rows):
     ``src/gnblock.jl:56``) without ever materializing the
     ``[E, DE + 2 DN + DG]`` concat.
     """
+    from ..utils.config import use_pallas
     w, b = params["w"], params.get("b")
     acc = None
     off = 0
     ln_term = None  # (x, ln_params, w_slice) — completed last, fused
+    fused_gather = None  # (partial_table, idx) — completed last-but-one
     for term in terms:
         x, idx = term[0], term[1]
         ln_params = term[2] if len(term) > 2 else None
@@ -148,6 +150,21 @@ def _linear_split(params, out_dtype, terms, rows):
             x, ws.astype(x.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if (idx is not None and idx_sorted and fused_gather is None
+                and use_pallas()):
+            # Defer the first sorted gathered term: completed below by the
+            # fused gather+addend kernel (one pass, no separate add
+            # stream).  The f32 accumulator keeps the sum exact before a
+            # single rounding, so this never costs accuracy.
+            from ..ops.pallas.gather import supports_sorted_gather
+            if supports_sorted_gather(idx.shape[0], y.shape[0],
+                                      y.shape[1]):
+                from ..utils.config import bf16_gather_partials
+                if (x.dtype == jnp.bfloat16
+                        and bf16_gather_partials(idx.shape[0])):
+                    y = y.astype(jnp.bfloat16)
+                fused_gather = (y, idx)
+                continue
         if idx is not None:
             # Partials gather in f32 by default (rounding them to bf16
             # would make the split path slightly less accurate than the
@@ -174,6 +191,16 @@ def _linear_split(params, out_dtype, terms, rows):
     if b is not None:
         bf = b.astype(jnp.float32)
         acc = bf if acc is None else acc + bf
+    if fused_gather is not None:
+        from ..ops.pallas.gather import sorted_gather_add
+        yt, gidx = fused_gather
+        if acc is None:
+            acc = scatter.take_rows_sorted_grad(yt, gidx, True) \
+                .astype(jnp.float32)
+        else:
+            if acc.ndim == 1:
+                acc = jnp.broadcast_to(acc, (rows, w.shape[1]))
+            acc = sorted_gather_add(yt, gidx, acc)
     if ln_term is not None:
         # Complete the row inside the LN->matmul kernel: the f32 sum of the
         # other partials (+ bias) enters as the kernel's addend, so the only

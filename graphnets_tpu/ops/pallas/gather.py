@@ -81,14 +81,24 @@ def _kernel(starts_ref,     # scalar prefetch: [grid] aligned window starts
             ends_ref,       # scalar prefetch: [grid] window ends
             tab_hbm,        # [N, D] in ANY (manual DMA)
             idx_ref,        # [1, TE] int32 VMEM block (pipelined)
-            out_ref,        # [TE, D] VMEM block
-            tab_buf, acc_ref, sems,
-            *, TE: int, TN: int, D: int, N: int):
+            *rest,          # [addend_ref,] out_ref, tab_buf, acc_ref, sems
+            TE: int, TN: int, D: int, N: int, has_addend: bool):
+    if has_addend:
+        addend_ref, out_ref, tab_buf, acc_ref, sems = rest
+    else:
+        out_ref, tab_buf, acc_ref, sems = rest
+        addend_ref = None
     i = pl.program_id(0)
     start_al = starts_ref[i]            # already TN-aligned on host
     end = ends_ref[i]
 
-    acc_ref[:] = jnp.zeros((TE, D), jnp.float32)
+    # Fused addend: out = table[idx] + addend in the same HBM pass —
+    # initializing the accumulator with the addend block costs nothing
+    # extra and saves a separate [E, D] read-modify-write stream.
+    if addend_ref is not None:
+        acc_ref[:] = addend_ref[:].astype(jnp.float32)
+    else:
+        acc_ref[:] = jnp.zeros((TE, D), jnp.float32)
     nchunks = pl.cdiv(end - start_al, TN)
     idx_row = idx_ref[:]                                   # [1, TE]
 
@@ -138,7 +148,8 @@ def _kernel(starts_ref,     # scalar prefetch: [grid] aligned window starts
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _forward(table: jax.Array, idx: jax.Array) -> jax.Array:
+def _forward(table: jax.Array, idx: jax.Array,
+             addend=None) -> jax.Array:
     N, D = table.shape
     E = idx.shape[0]
     TE = _pick(E, (512, 256, 128))
@@ -153,15 +164,22 @@ def _forward(table: jax.Array, idx: jax.Array) -> jax.Array:
     starts = ((idx2[:, 0] // TN) * TN).astype(jnp.int32)
     ends = (idx2[:, -1] + 1).astype(jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, TE), lambda i, *_: (0, i)),
+    ]
+    args = [starts, ends, table, idx.reshape(1, E)]
+    if addend is not None:
+        in_specs.append(pl.BlockSpec((TE, D), lambda i, *_: (i, 0)))
+        args.append(addend)
+
     return pl.pallas_call(
-        functools.partial(_kernel, TE=TE, TN=TN, D=D, N=N),
+        functools.partial(_kernel, TE=TE, TN=TN, D=D, N=N,
+                          has_addend=addend is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, TE), lambda i, *_: (0, i)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((TE, D), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -170,14 +188,16 @@ def _forward(table: jax.Array, idx: jax.Array) -> jax.Array:
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((E, D), table.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (E, D), table.dtype if addend is None
+            else jnp.promote_types(table.dtype, addend.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=2 * E * TN * D,
             bytes_accessed=(E + N) * D * table.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(starts, ends, table, idx.reshape(1, E))
+    )(*args)
 
 
 @jax.custom_vjp
@@ -197,6 +217,47 @@ def _sg_bwd(res, g):
 
 
 _sg.defvjp(_sg_fwd, _sg_bwd)
+
+
+@jax.custom_vjp
+def _sg_add(table, idx, addend):
+    return _forward(table, idx, addend)
+
+
+def _sg_add_fwd(table, idx, addend):
+    # dtype carriers: custom_vjp residuals must be JAX types, so dtypes
+    # ride in zero-size arrays.
+    return (_forward(table, idx, addend),
+            (idx, table.shape[0], jnp.zeros((0,), table.dtype),
+             jnp.zeros((0,), addend.dtype)))
+
+
+def _sg_add_bwd(res, g):
+    idx, n, tdt, adt = res
+    from .segment_sum import sorted_segment_sum
+    return (sorted_segment_sum(g, idx, n).astype(tdt.dtype),
+            jnp.zeros(idx.shape, jax.dtypes.float0),
+            g.astype(adt.dtype))
+
+
+_sg_add.defvjp(_sg_add_fwd, _sg_add_bwd)
+
+
+def sorted_gather_add(table: jax.Array, idx: jax.Array,
+                      addend: jax.Array) -> jax.Array:
+    """``table[idx] + addend`` fused in one kernel pass for ascending
+    ``idx`` — the accumulator tile initializes from the addend block, so
+    the separate [E, D] add stream disappears.  The f32 accumulator makes
+    the sum exact before the single output rounding (to
+    ``promote_types(table, addend)``).  Falls back to the unfused ops for
+    unsupported shapes."""
+    if not supports_sorted_gather(idx.shape[0], table.shape[0],
+                                  table.shape[1]):
+        out = jnp.take(table, idx, axis=0, indices_are_sorted=True,
+                       mode="clip")
+        dt = jnp.promote_types(table.dtype, addend.dtype)
+        return out.astype(dt) + addend.astype(dt)
+    return _sg_add(table, idx, addend)
 
 
 def sorted_gather(table: jax.Array, idx: jax.Array) -> jax.Array:

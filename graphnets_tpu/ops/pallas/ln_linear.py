@@ -127,8 +127,10 @@ def _forward(x, scale, bias, w, addend=None):
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((d, dout), full, memory_space=pltpu.VMEM),
     ]
-    args = [x] + ([addend.astype(jnp.float32)] if addend is not None
-                  else []) + [
+    # The addend streams in its STORED dtype (the kernel upcasts
+    # in-register) — a host-side astype(f32) would materialize a full
+    # extra [T, dout] f32 copy in HBM.
+    args = [x] + ([addend] if addend is not None else []) + [
         scale[None, :].astype(jnp.float32),
         bias[None, :].astype(jnp.float32), w.astype(x.dtype)]
     out_dtype = x.dtype if addend is not None else jnp.float32
@@ -141,7 +143,8 @@ def _forward(x, scale, bias, w, addend=None):
         cost_estimate=pl.CostEstimate(
             flops=2 * T * d * dout,
             bytes_accessed=T * (d + dout) * x.dtype.itemsize
-            + (T * dout * 4 if addend is not None else 0)
+            + (T * dout * addend.dtype.itemsize if addend is not None
+               else 0)
             + d * dout * w.dtype.itemsize,
             transcendentals=T,
         ),

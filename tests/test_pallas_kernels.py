@@ -556,3 +556,34 @@ def test_bf16_gather_partials_gating():
     np.testing.assert_allclose(np.asarray(y_bf16.ef, np.float32),
                                np.asarray(y_f32.ef, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("adt", [jnp.float32, jnp.bfloat16])
+def test_sorted_gather_add_fused(interpret_mode, adt):
+    """Fused gather+addend == take + add, forward and gradients."""
+    from graphnets_tpu.ops.pallas.gather import sorted_gather_add
+    d, E, N = 128, 256, 64
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32),
+                        jnp.bfloat16)
+    idx = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    addend = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32), adt)
+
+    out = sorted_gather_add(table, idx, addend)
+    ref = (jnp.take(table, idx, axis=0).astype(jnp.float32)
+           + addend.astype(jnp.float32))
+    assert out.dtype == jnp.promote_types(table.dtype, addend.dtype)
+    tol = 4e-2 if out.dtype == jnp.bfloat16 else 1e-6
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+    ct = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32), out.dtype)
+    g1 = jax.vjp(lambda t, a: sorted_gather_add(t, idx, a),
+                 table, addend)[1](ct)
+    g2 = jax.vjp(lambda t, a: jnp.take(t, idx, axis=0).astype(out.dtype)
+                 + a.astype(out.dtype), table, addend)[1](ct)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=4e-2, atol=4e-2)
