@@ -144,6 +144,21 @@ def main():
                ref.astype(jnp.float32), orc,
                bf16_out=(dtype == jnp.bfloat16))
 
+    # -- fused gather + addend ---------------------------------------------
+    from graphnets_tpu.ops.pallas.gather import sorted_gather_add
+    tab = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32),
+                      jnp.bfloat16)
+    add = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+    out = jax.jit(lambda t, a: sorted_gather_add(t, seg, a))(tab, add)
+    ref = jnp.take(tab, seg, axis=0).astype(jnp.float32) + add
+
+    def m_gather_add(t, a):
+        return jnp.take(t, jnp.asarray(seg_np), axis=0) + a
+
+    orc = oracle(m_gather_add, tab.astype(jnp.float32), add)
+    record("sorted_gather_add/bf16+f32", out.astype(jnp.float32), ref, orc,
+           bf16_out=False)
+
     # -- fused LN-FFN-residual fwd + bwd ------------------------------------
     from graphnets_tpu.ops.pallas.fused_ffn import (ln_ffn_residual,
                                                     ln_ffn_residual_reference)

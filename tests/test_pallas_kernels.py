@@ -587,3 +587,41 @@ def test_sorted_gather_add_fused(interpret_mode, adt):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=4e-2, atol=4e-2)
+
+
+def test_gnblock_fused_gather_term_matches(interpret_mode):
+    """GNBlock whose receiver term routes through the fused
+    sorted_gather_add kernel (node slots 32-aligned, edge slots
+    tileable) == pure path on real slots, forward and gradients."""
+    import graphnets_tpu as gn
+    from graphnets_tpu.ops.pallas.gather import supports_sorted_gather
+    rng = np.random.default_rng(7)
+    d = 128
+    adjs = [np.ones((16, 16), int), np.ones((12, 12), int)]
+    ef = [rng.normal(size=(256, d)).astype(np.float32),
+          rng.normal(size=(144, d)).astype(np.float32)]
+    nf = [rng.normal(size=(16, d)).astype(np.float32),
+          rng.normal(size=(12, d)).astype(np.float32)]
+    x = gn.batch({"graphs": adjs, "ef": ef, "nf": nf, "gf": None},
+                 pad=gn.PadSpec(32, 512, 3))
+    assert supports_sorted_gather(x.num_edge_slots, x.num_node_slots, d)
+    block = gn.GNBlock((d, d, 0), (d, d, 0))
+    params = block.init(jax.random.PRNGKey(0))
+
+    def loss(p, pallas):
+        enable_pallas(pallas, interpret=True)
+        y = block.apply(p, x)
+        m_e = x.edge_mask[:, None]
+        m_n = x.node_mask[:, None]
+        return (jnp.sum(jnp.where(m_e, y.ef.astype(jnp.float32), 0) ** 2)
+                + jnp.sum(jnp.where(m_n, y.nf.astype(jnp.float32), 0) ** 2))
+
+    l_pal, g_pal = jax.value_and_grad(loss)(params, True)
+    l_pure, g_pure = jax.value_and_grad(loss)(params, False)
+    np.testing.assert_allclose(float(l_pal), float(l_pure),
+                               rtol=1e-5, atol=1e-5)
+    flat_p = jax.tree_util.tree_leaves(g_pal)
+    flat_q = jax.tree_util.tree_leaves(g_pure)
+    for a, b in zip(flat_p, flat_q):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
