@@ -88,12 +88,13 @@ def main():
     # -- sampler throughput (host side) ------------------------------------
     train_nodes = np.arange(g.num_nodes)
     batches = []
-    t0 = time.perf_counter()
     it = sampler.epoch(train_nodes)
-    for _ in range(6):
+    batches.append(next(it))     # warmup: first batch pays one-time costs
+    t0 = time.perf_counter()
+    for _ in range(5):
         b = next(it)
         batches.append(b)
-    t_sample = (time.perf_counter() - t0) / len(batches)
+    t_sample = (time.perf_counter() - t0) / (len(batches) - 1)
     print(f"# sampler: {t_sample*1e3:.1f} ms/batch  "
           f"{BATCH/t_sample:.0f} seeds/s  (subgraph: "
           f"{batches[0].graph.num_node_slots} nodes, "

@@ -24,7 +24,7 @@ from graphnets_tpu.training.train import make_train_step, TrainState
 from graphnets_tpu.models.encode_process_decode import EncodeProcessDecode
 from graphnets_tpu.data.sort_task import (SortTaskConfig, sort_pad_spec,
                                           device_batch)
-from graphnets_tpu.training.losses import sort_loss_and_metrics
+from graphnets_tpu.training.losses import graph_loss_nf_ef
 from graphnets_tpu.utils.config import get_config, enable_pallas
 
 cfg = SortTaskConfig()
@@ -51,7 +51,7 @@ def fwd_body(state, _):
     state = TrainState(params=state.params, opt_state=state.opt_state,
                        step=state.step, rng=rng)
     x, y = device_batch(dk, cfg, pad, dtype=None)
-    loss, _ = sort_loss_and_metrics(model.apply(state.params, x), y)
+    loss = graph_loss_nf_ef(model.apply(state.params, x), y)
     return state, loss
 
 
