@@ -32,7 +32,19 @@ from graphnets_tpu.utils.warmup import enable_compilation_cache
 enable_compilation_cache()
 enable_pallas(True)
 
-N, E_TARGET, D_FEAT, N_CLASSES = 169_343, 1_166_243, 128, 40
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--products", action="store_true",
+                 help="ogbn-products shape (2.45M nodes / 124M edges) "
+                 "instead of arxiv — exercises the large-graph store and "
+                 "sampler two orders of magnitude up; the device step is "
+                 "shape-identical (fanout-determined subgraphs)")
+_args, _ = _ap.parse_known_args()
+
+if _args.products:
+    N, E_TARGET, D_FEAT, N_CLASSES = 2_449_029, 123_718_280, 100, 47
+else:
+    N, E_TARGET, D_FEAT, N_CLASSES = 169_343, 1_166_243, 128, 40
 HIDDEN, N_CORES = 256, 2
 FANOUTS, BATCH = (10, 10), 512
 DTYPE = jnp.bfloat16
@@ -42,12 +54,15 @@ def make_arxiv_shaped(seed=0):
     rng = np.random.default_rng(seed)
     # Preferential-attachment-ish receivers: sample targets from a
     # power-law over node ranks, then shuffle ranks so degree is not
-    # correlated with node id (as in a real citation graph).
-    ranks = rng.permutation(N)
+    # correlated with node id (as in a real citation graph).  Inverse-CDF
+    # sampling via searchsorted — rng.choice(p=...) is O(E) per draw at
+    # this scale.
+    ranks = rng.permutation(N).astype(np.int32)
     p = 1.0 / (np.arange(N) + 10.0)
-    p /= p.sum()
-    receivers = ranks[rng.choice(N, size=E_TARGET, p=p)]
-    senders = rng.integers(0, N, size=E_TARGET)
+    cdf = np.cumsum(p / p.sum())
+    receivers = ranks[np.searchsorted(
+        cdf, rng.random(E_TARGET), side="right").clip(0, N - 1)]
+    senders = rng.integers(0, N, size=E_TARGET, dtype=np.int32)
     labels = rng.integers(0, N_CLASSES, size=N)
     feat = rng.normal(size=(N, D_FEAT)).astype(np.float32)
     feat[:, :N_CLASSES] += 2.0 * np.eye(N_CLASSES, dtype=np.float32)[labels]
