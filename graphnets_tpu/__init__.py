@@ -37,6 +37,9 @@ from .models.gn_block import (
     get_edge_fn_input,
     get_node_fn_input,
     get_graph_fn_input,
+    getedgefninput,
+    getnodefninput,
+    getgraphfninput,
     zerodim2nothing,
 )
 from .models.gn_core import (
@@ -59,7 +62,8 @@ __all__ = [
     "flat_unpadded_collapsed_ef", "GNGraphBatch", "unpaddedcollapsedef",
     "flatunpaddedcollapsedef", "adjacency_matrices",
     "GNBlock", "get_edge_fn_input", "get_node_fn_input",
-    "get_graph_fn_input", "zerodim2nothing",
+    "get_graph_fn_input", "getedgefninput", "getnodefninput",
+    "getgraphfninput", "zerodim2nothing",
     "GNCore", "GNCoreList", "GNFeedForward", "GNGraphNorm", "graphnet_add",
     "Chain", "Dropout", "FeedForward", "LayerNorm", "Linear", "relu",
 ]

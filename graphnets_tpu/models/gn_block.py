@@ -45,6 +45,9 @@ __all__ = [
     "get_edge_fn_input",
     "get_node_fn_input",
     "get_graph_fn_input",
+    "getedgefninput",
+    "getnodefninput",
+    "getgraphfninput",
     "zerodim2nothing",
 ]
 
@@ -108,6 +111,13 @@ def get_graph_fn_input(g: GraphsTuple, ef=..., nf=..., gf=...) -> Array:
     if gf is not None:
         parts.append(gf)
     return _concat(parts)
+
+
+# Reference-spelled aliases (``/root/reference/src/GraphNets.jl:26-32``
+# exports getedgefninput / getnodefninput / getgraphfninput).
+getedgefninput = get_edge_fn_input
+getnodefninput = get_node_fn_input
+getgraphfninput = get_graph_fn_input
 
 
 def _linear_split(params, out_dtype, terms, rows):
@@ -185,8 +195,10 @@ def _linear_split(params, out_dtype, terms, rows):
             y = scatter.take_rows_sorted_grad(y, idx, idx_sorted, windows)
         acc = y.astype(jnp.float32) if acc is None \
             else acc + y.astype(jnp.float32)
-    if acc is None and ln_term is None:
-        # All-zero-width input: Linear(0, dout) is a bias broadcast.
+    if acc is None and ln_term is None and fused_gather is None:
+        # All-zero-width input: Linear(0, dout) is a bias broadcast.  (With
+        # a deferred fused_gather term, acc stays None so the gather takes
+        # the cheaper no-addend path instead of streaming zeros.)
         acc = jnp.zeros((rows, w.shape[1]), jnp.float32)
     if b is not None:
         bf = b.astype(jnp.float32)

@@ -29,6 +29,20 @@ __all__ = ["GNFeedForward", "GNGraphNorm", "GNCore", "GNCoreList",
            "graphnet_add"]
 
 
+def _require_all_positive(dims, who: str):
+    """Residual cores normalize and MLP every feature set, so all three
+    dims must be > 0 — the reference enforces this via GNFeedForward's
+    ``@assert all(dims .> 0)`` (``/root/reference/src/gnfeedforward.jl:18``);
+    we raise at construction with the rule spelled out instead of letting
+    an inner assert fail later."""
+    if not all(d > 0 for d in dims):
+        raise ValueError(
+            f"{who} requires all of (edge, node, graph) dims > 0, got "
+            f"{tuple(dims)}. Residual cores LayerNorm + MLP every feature "
+            "set (reference rule: /root/reference/src/gnfeedforward.jl:18)."
+            " Use GNBlock directly for zero-width feature sets.")
+
+
 def graphnet_add(a: GraphsTuple, b: GraphsTuple) -> GraphsTuple:
     """Element-wise residual add of ef/nf/gf
     (``/root/reference/src/gncore.jl:61-68``)."""
@@ -46,7 +60,7 @@ class GNGraphNorm(Module):
     dims: Tuple[int, int, int]
 
     def __post_init__(self):
-        assert all(d > 0 for d in self.dims)
+        _require_all_positive(self.dims, "GNGraphNorm")
 
     def _lns(self):
         de, dn, dg = self.dims
@@ -75,7 +89,7 @@ class GNFeedForward(Module):
     dropout: float = 0.0
 
     def __post_init__(self):
-        assert all(d > 0 for d in self.dims)
+        _require_all_positive(self.dims, "GNFeedForward")
 
     def _ffs(self):
         de, dn, dg = self.dims
@@ -108,7 +122,7 @@ class GNCore(Module):
     dropout: float = 0.0
 
     def __post_init__(self):
-        assert any(d > 0 for d in self.dims)
+        _require_all_positive(self.dims, "GNCore")
 
     def _parts(self):
         return (GNBlock(self.dims, self.dims, dropout=self.dropout),

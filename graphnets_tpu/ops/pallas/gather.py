@@ -70,11 +70,52 @@ def _pick_tn(num_rows: int, num_out: int, te: int) -> int:
     return tn
 
 
-def supports_sorted_gather(num_out: int, num_rows: int, dim: int) -> bool:
-    return (dim % 128 == 0
-            and _pick(num_out, (512, 256, 128)) is not None
-            and num_rows % 32 == 0
-            and num_rows >= 32)
+_VMEM_BUDGET = 12 << 20  # same headroom rule as ops.pallas.ln_linear
+
+
+def supports_sorted_gather(num_out: int, num_rows: int, dim: int,
+                           itemsize: int = 4) -> bool:
+    """Shape AND VMEM-fit gate (table chunks are double-buffered and the
+    accumulator/addend tiles are f32, so large ``dim`` can blow the ~16 MB
+    VMEM at compile time — e.g. D >= 2048 f32 with TE=TN=512)."""
+    te = _pick(num_out, (512, 256, 128))
+    if (dim % 128 != 0 or te is None or num_rows % 32 != 0
+            or num_rows < 32):
+        return False
+    tn = _pick_tn(num_rows, num_out, te)
+    vmem = (2 * tn * dim * itemsize   # double-buffered table chunks
+            + te * dim * 4            # f32 accumulator
+            + te * dim * itemsize     # output tile
+            + te * dim * 4)           # addend tile (worst case f32)
+    return vmem <= _VMEM_BUDGET
+
+
+def _debug_check_sorted_in_range(idx, num_rows: int):
+    """GRAPHNETS_TPU_DEBUG=1: enforce the kernel's unchecked preconditions
+    — ids ascending and within ``[0, num_rows)``.  Violations make the
+    kernel silently diverge from ``jnp.take(mode="clip")`` (out-of-range
+    columns produce zeros; the clamped chunk offset can double-count
+    in-range ids), so debug mode raises instead."""
+    import numpy as np
+
+    def cb(idx):
+        a = np.asarray(idx)
+        if len(a) > 1 and (np.diff(a) < 0).any():
+            k = int(np.argmax(np.diff(a) < 0))
+            raise ValueError(
+                "sorted_gather: idx is not ascending "
+                f"(idx[{k}]={a[k]} > idx[{k + 1}]={a[k + 1]}); the kernel "
+                "requires the canonical sorted order.")
+        if len(a) and (int(a.min()) < 0 or int(a.max()) >= num_rows):
+            raise ValueError(
+                "sorted_gather: idx out of range [0, "
+                f"{num_rows}): min={int(a.min())} max={int(a.max())}. "
+                "Out-of-range ids would read as zeros (not clip).")
+
+    if isinstance(idx, jax.core.Tracer):
+        jax.debug.callback(cb, idx)
+    else:
+        cb(idx)
 
 
 def _kernel(starts_ref,     # scalar prefetch: [grid] aligned window starts
@@ -250,21 +291,38 @@ def sorted_gather_add(table: jax.Array, idx: jax.Array,
     the separate [E, D] add stream disappears.  The f32 accumulator makes
     the sum exact before the single output rounding (to
     ``promote_types(table, addend)``).  Falls back to the unfused ops for
-    unsupported shapes."""
+    unsupported shapes.
+
+    Precondition (unchecked outside GRAPHNETS_TPU_DEBUG=1): ``idx``
+    ascending and in ``[0, len(table))`` — see :func:`sorted_gather`."""
     if not supports_sorted_gather(idx.shape[0], table.shape[0],
-                                  table.shape[1]):
+                                  table.shape[1],
+                                  table.dtype.itemsize):
         out = jnp.take(table, idx, axis=0, indices_are_sorted=True,
                        mode="clip")
         dt = jnp.promote_types(table.dtype, addend.dtype)
         return out.astype(dt) + addend.astype(dt)
+    from ...utils.config import debug_checks
+    if debug_checks():
+        _debug_check_sorted_in_range(idx, table.shape[0])
     return _sg_add(table, idx, addend)
 
 
 def sorted_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     """``table[idx]`` for ascending ``idx``; falls back to ``jnp.take`` for
-    unsupported shapes."""
+    unsupported shapes.
+
+    Precondition (enforced only under GRAPHNETS_TPU_DEBUG=1): ``idx``
+    ascending and within ``[0, len(table))``.  Unlike
+    ``jnp.take(mode="clip")``, out-of-range ids read as ZEROS and unsorted
+    ids can double-count rows re-read by the clamped chunk offset — the
+    batch layout guarantees the contract; custom callers must too."""
     if not supports_sorted_gather(idx.shape[0], table.shape[0],
-                                  table.shape[1]):
+                                  table.shape[1],
+                                  table.dtype.itemsize):
         return jnp.take(table, idx, axis=0, indices_are_sorted=True,
                         mode="clip")
+    from ...utils.config import debug_checks
+    if debug_checks():
+        _debug_check_sorted_in_range(idx, table.shape[0])
     return _sg(table, idx)

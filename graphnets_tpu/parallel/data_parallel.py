@@ -69,13 +69,22 @@ def make_dp_train_step(
 
     def step(state: TrainState, x: GraphsTuple, y: GraphsTuple):
         rng, step_rng = jax.random.split(state.rng)
+        num_shards = jax.tree_util.tree_leaves(x)[0].shape[0]
 
         def loss_of(params):
-            def per_shard(xs, ys):
+            def per_shard(shard_idx, xs, ys):
+                # Decorrelate stochastic layers (dropout) across shards:
+                # each shard folds its index into the step rng, so DP with
+                # dropout > 0 draws independent masks per shard.  Contract:
+                # the DP step equals a single-device vmap over the same
+                # shards with rng = fold_in(step_rng, shard_index)
+                # (tested in tests/test_parallel.py).
+                shard_rng = jax.random.fold_in(step_rng, shard_idx)
                 pred = model.apply(params, xs, training=training,
-                                   rng=step_rng)
+                                   rng=shard_rng)
                 return loss_fn(pred, ys)
-            losses = jax.vmap(per_shard)(x, y)
+            losses = jax.vmap(per_shard)(
+                jnp.arange(num_shards, dtype=jnp.uint32), x, y)
             return jnp.mean(losses)
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)

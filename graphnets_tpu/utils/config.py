@@ -109,9 +109,27 @@ def enable_pallas(flag: bool = True, interpret: Optional[bool] = None):
         _config.pallas_interpret = interpret
 
 
+_bf16_gate_logged = False
+
+
 def bf16_gather_partials(rows: int) -> bool:
     if _config.bf16_gather_partials is None:
-        return rows >= _config.bf16_gather_rows
+        on = rows >= _config.bf16_gather_rows
+        if on:
+            # The auto gate keys on the padded gather row count, so two
+            # runs of the same model with different padding can differ in
+            # rounding behavior with no other signal — log the first
+            # engagement so the numerics change is visible.
+            global _bf16_gate_logged
+            if not _bf16_gate_logged:
+                _bf16_gate_logged = True
+                import logging
+                logging.getLogger("graphnets_tpu").info(
+                    "bf16_gather_partials auto-enabled (gather rows %d >= "
+                    "%d): split-linear partials round to bf16 before the "
+                    "edge gather; set GRAPHNETS_TPU_BF16_GATHER=0/1 to pin.",
+                    rows, _config.bf16_gather_rows)
+        return on
     return _config.bf16_gather_partials
 
 

@@ -32,6 +32,50 @@ enable_pallas(False)
 
 import pytest  # noqa: E402
 
+# Fast/slow split: `pytest -m fast` is the <2-minute CI signal lane; the
+# full (unmarked) run stays the merge gate.  Slow = multi-device /
+# convergence / kernel-sweep tests, listed explicitly from measured
+# `--durations` (refresh with `pytest --durations=40` when the shape of the
+# suite changes); whole modules below are slow wholesale.  Anything not
+# listed is marked fast, so new tests default into the signal lane until
+# measured otherwise.
+_SLOW_MODULES = {
+    "test_parallel",        # 8-device shard_map equality suites
+    "test_sort_training",   # convergence runs
+}
+_SLOW_TESTS = {
+    "test_misc::test_examples_run",
+    "test_misc::test_tp_shardings",
+    "test_misc::test_parity_harness_roundtrip",
+    "test_core::test_corelist_remat_matches",
+    "test_core::test_encoder_core_decoder_stack",
+    "test_core::test_core_shapes",
+    "test_core::test_core_batch_invariance",
+    "test_pallas_kernels::test_fused_edge_update_matches",
+    "test_pallas_kernels::test_gnblock_fused_edge_update_matches_split",
+    "test_pallas_kernels::test_gnblock_fused_gather_term_matches",
+    "test_pallas_kernels::test_fused_ffn_gradients",
+    "test_uniform_layout::test_fused_edge_update_reachable_from_batch",
+    "test_uniform_layout::test_gnblock_parity_exact_vs_uniform",
+    "test_large_graph::test_node_classification_learns",
+    "test_gnblock::test_gradients_flow",
+    "test_checkpoint::test_checkpoint_roundtrip",
+    "test_checkpoint::test_checkpoint_keeps_latest",
+    "test_device_data::test_device_batch_padding_is_clean",
+    "test_fault_tolerance::test_restart_recovers_and_matches",
+    "test_misc::test_precision_policy",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        key = f"{mod}::{item.name.split('[')[0]}"
+        if mod in _SLOW_MODULES or key in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def cpu_devices():

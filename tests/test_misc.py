@@ -159,3 +159,24 @@ def test_viz_svg_rendering(tmp_path):
     svg = render_graph_svg(2, [(0, 1)], node_value=lambda i: str(i))
     (tmp_path / "g.svg").write_text(svg)
     ET.fromstring(svg)
+
+
+def test_core_dims_constructor_errors():
+    """GNCore / GNFeedForward / GNGraphNorm reject zero dims at
+    construction with the reference rule spelled out
+    (``/root/reference/src/gnfeedforward.jl:18``)."""
+    import pytest
+    from graphnets_tpu import GNCore, GNFeedForward, GNGraphNorm
+    for cls in (GNCore, GNFeedForward, GNGraphNorm):
+        with pytest.raises(ValueError, match="gnfeedforward.jl:18"):
+            cls((8, 0, 8))
+    GNCore((8, 8, 8))  # all-positive still constructs
+
+
+def test_reference_spelled_fn_input_aliases():
+    """Reference-spelled input-assembly aliases exist and are the same
+    callables (``/root/reference/src/GraphNets.jl:26-32``)."""
+    import graphnets_tpu as gn
+    assert gn.getedgefninput is gn.get_edge_fn_input
+    assert gn.getnodefninput is gn.get_node_fn_input
+    assert gn.getgraphfninput is gn.get_graph_fn_input

@@ -633,3 +633,59 @@ def test_pipeline_gradient_equality(cpu_devices):
                     jax.tree_util.tree_leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_dp_dropout_rng_decorrelated(cpu_devices):
+    """DP with dropout > 0: per-shard dropout masks must DIFFER (shard
+    index folded into the step rng), and the DP step must equal the
+    documented single-device contract — a vmap over the same shards with
+    ``rng = fold_in(step_rng, shard_index)``."""
+    mesh = _mesh(cpu_devices, 4)
+    cfg = SortTaskConfig(vocab_size=6, min_nodes=2, max_nodes=3,
+                         batch_size=2)
+    pad = sort_pad_spec(cfg)
+    rng = np.random.default_rng(7)
+    shards = [get_batch(rng, cfg, pad) for _ in range(4)]
+    X = stack_shards([s[0] for s in shards])
+    Y = stack_shards([s[1] for s in shards])
+
+    model = EncodeProcessDecode((0, cfg.vocab_size, 0), (8, 8, 8),
+                                (2, 2, 0), n_cores=1, dropout=0.5)
+    opt = optax.sgd(1e-2)
+    state0 = TrainState.create(model, opt, jax.random.PRNGKey(5))
+
+    # (a) shards draw different dropout masks: the same shard input run
+    # under fold_in(key, 0) vs fold_in(key, 1) must differ.
+    _, step_rng = jax.random.split(state0.rng)
+    x0 = shards[0][0]
+    out0 = model.apply(state0.params, x0, training=True,
+                       rng=jax.random.fold_in(step_rng, 0))
+    out1 = model.apply(state0.params, x0, training=True,
+                       rng=jax.random.fold_in(step_rng, 1))
+    assert not np.allclose(np.asarray(out0.nf), np.asarray(out1.nf)), \
+        "per-shard dropout masks are identical — rng correlation regressed"
+
+    # (b) DP step == single-device reference under the same contract.
+    dp_step = make_dp_train_step(model, opt, mesh, training=True)
+    state_dp, m_dp = dp_step(state0, shard_batch(X, mesh),
+                             shard_batch(Y, mesh))
+
+    from graphnets_tpu.training.losses import graph_loss_nf_ef as _loss
+
+    def loss_of(params):
+        losses = []
+        for i, (x, y) in enumerate(shards):
+            pred = model.apply(params, x, training=True,
+                               rng=jax.random.fold_in(step_rng, i))
+            losses.append(_loss(pred, y))
+        return jnp.mean(jnp.stack(losses))
+
+    loss, grads = jax.value_and_grad(loss_of)(state0.params)
+    updates, _ = opt.update(grads, state0.opt_state, state0.params)
+    params_ref = optax.apply_updates(state0.params, updates)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
