@@ -70,6 +70,12 @@ class PartitionedGraph:
     nf: jax.Array
     ef: Optional[jax.Array] = None
     gf: Optional[jax.Array] = None
+    # Host-side metadata (NOT part of the pytree; lost under tree_map/jit):
+    # original edge index of each local slot ``[S, Epad]`` (pad = -1).
+    # Each shard's edges are SORTED by local receiver (the canonical order
+    # the Pallas sorted segment-sum/gather kernels require); this maps a
+    # shard slot back to the caller's edge array.
+    edge_index: Optional[np.ndarray] = None
 
     _children = ("senders_global", "receivers_local", "edge_mask",
                  "node_mask", "nf", "ef", "gf")
@@ -99,7 +105,15 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
                     gf: Optional[np.ndarray] = None,
                     edge_pad_multiple: int = 128) -> PartitionedGraph:
     """Host-side partitioner: contiguous node blocks, edges to the receiver's
-    owner shard, equal static pad sizes across shards."""
+    owner shard, equal static pad sizes across shards.
+
+    Each shard's edges are stably SORTED by local receiver, and padded
+    slots target the virtual overflow segment ``npad`` — the
+    sorted-pad-safe contract the Pallas sorted segment-sum / gather
+    kernels require (``ops/pallas/segment_sum.py``), so the partitioned
+    path runs the same kernel stack as the single-device block.
+    ``pg.edge_index`` maps each local slot back to the input edge array.
+    """
     N = nf.shape[0]
     npad = -(-N // num_shards)
     owner = np.minimum(receivers // npad, num_shards - 1)
@@ -109,18 +123,22 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
 
     S = num_shards
     sg = np.zeros((S, epad), np.int32)
-    rl = np.zeros((S, epad), np.int32)
+    rl = np.full((S, epad), npad, np.int32)   # pads -> overflow segment
     em = np.zeros((S, epad), bool)
+    eidx = np.full((S, epad), -1, np.int64)
     nm = np.zeros((S, npad), bool)
     nfp = np.zeros((S, npad, nf.shape[1]), np.float32)
     efp = (np.zeros((S, epad, ef.shape[1]), np.float32)
            if ef is not None else None)
     for s in range(S):
-        sel = owner == s
-        k = int(sel.sum())
+        sel = np.where(owner == s)[0]
+        rls = receivers[sel] - s * npad
+        sel = sel[np.argsort(rls, kind="stable")]  # canonical sorted order
+        k = len(sel)
         sg[s, :k] = senders[sel]
         rl[s, :k] = receivers[sel] - s * npad
         em[s, :k] = True
+        eidx[s, :k] = sel
         lo, hi = s * npad, min((s + 1) * npad, N)
         nm[s, : hi - lo] = True
         nfp[s, : hi - lo] = nf[lo:hi]
@@ -133,6 +151,7 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
         ef=jnp.asarray(efp) if efp is not None else None,
         gf=jnp.asarray(gf[None, :].astype(np.float32))
         if gf is not None else None,
+        edge_index=eidx,
     )
 
 
@@ -174,9 +193,11 @@ def gn_block_partitioned(block: GNBlock, params, pg: PartitionedGraph,
         edge_in = jnp.concatenate([ef, src, dst, g2e], axis=-1)
         h_ef = edgefn.apply(params["edgefn"], edge_in)
 
-        # -- node update: local segment_sum (edges live with receivers) ----
+        # -- node update: local segment_sum (edges live with receivers;
+        # shard edge order is receiver-sorted, pads target segment Npad
+        # and are dropped as out-of-range) --------------------------------
         agg = scatter.segment_sum(h_ef, rl, Npad, em,
-                                  indices_are_sorted=False)
+                                  indices_are_sorted=True)
         g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
         node_in = jnp.concatenate([agg, nf, g2n], axis=-1)
         h_nf = nodefn.apply(params["nodefn"], node_in)
@@ -338,9 +359,9 @@ def gn_block_partitioned_halo(block: GNBlock, params, pg: PartitionedGraph,
         h_ef = edgefn.apply(params["edgefn"],
                             jnp.concatenate([ef, src, dst, g2e], -1))
 
-        # -- node update: local segment_sum ---------------------------------
+        # -- node update: local segment_sum (receiver-sorted shard order) ---
         agg = scatter.segment_sum(h_ef, rl, Npad, em,
-                                  indices_are_sorted=False)
+                                  indices_are_sorted=True)
         g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
         h_nf = nodefn.apply(params["nodefn"],
                             jnp.concatenate([agg, nf, g2n], -1))
@@ -379,7 +400,7 @@ def gn_block_partitioned_halo(block: GNBlock, params, pg: PartitionedGraph,
 
 
 def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
-                   nf, ef, gf, axis: str):
+                   nf, ef, gf, axis: str, ef_ln=None):
     """Per-shard GNBlock body with v3 (transform-before-exchange) halo.
 
     Runs INSIDE ``shard_map``: all array arguments are this shard's slices
@@ -388,7 +409,21 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
     (it is computed from psum'd pools, identically everywhere).  This is the
     building block for partitioned GNCores and full stacks — semantics equal
     to the unpartitioned GNBlock on real slots.
+
+    The partitioner emits each shard's edges SORTED by local receiver with
+    pads targeting the overflow segment ``Npad``, so this body runs the
+    same Pallas kernel stack as the single-device block (sorted-gather
+    fused-addend receiver term, sorted segment-sum aggregation, and — via
+    ``ef_ln`` — the pre-block edge LayerNorm fused into the edge-update
+    matmul).  Pure-XLA fallbacks engage per-shape/backend exactly like the
+    single-device path, so CPU virtual-mesh equality tests exercise the
+    same code.
+
+    ``ef_ln``: optional LayerNorm params for ``ef`` (the GNCore's
+    pre-block edge GraphNorm), applied before the edge update — fused into
+    the edge matmul via ``ln_matmul`` when Pallas is on.
     """
+    from ..utils.config import use_pallas
     _, nodefn, graphfn = block._nets()
     de, dn, dg = block.in_dims
     de_o = block.out_dims[0]
@@ -397,6 +432,11 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
     ef = ef if ef is not None else jnp.zeros((Epad, 0), nf.dtype)
     gf = gf if gf is not None else jnp.zeros((1, 0), nf.dtype)
     S, H = send_idx.shape[0], send_idx.shape[1]
+
+    if ef_ln is not None and not (use_pallas() and de > 0):
+        from ..nn.core import LayerNorm
+        ef = LayerNorm(de).apply(ef_ln, ef)
+        ef_ln = None
 
     w = params["edgefn"]["w"]
     b = params["edgefn"].get("b")
@@ -420,24 +460,52 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
     table = jnp.concatenate([t_src, halo.reshape(S * H, de_o)], axis=0)
 
     # -- local terms (independent of the collective: overlap) -----------
-    acc = jnp.take(table, sender_pos, axis=0,
-                   mode="clip").astype(jnp.float32)
-    if de > 0:
-        acc = acc + dot32(ef, w_ef)
-    acc = acc + jnp.take(dot32(nf, w_dst).astype(nf.dtype), rl, axis=0,
-                         mode="clip")
+    # Sender gather: ids unsorted, but the backward scatter runs sorted
+    # (argsort once) instead of as an XLA serial scatter.
+    acc = scatter.take_rows_sorted_grad(table, sender_pos) \
+        .astype(jnp.float32)
     if dg > 0:
         acc = acc + dot32(gf, w_g)[0]                  # broadcast [DE']
     if b is not None:
         acc = acc + b.astype(jnp.float32)
-    h_ef = acc.astype(nf.dtype)
+
+    # Receiver term: rl ascending (canonical shard order) -> the Pallas
+    # sorted-gather with fused addend; pads (rl == Npad) clamp in range,
+    # their rows are garbage-but-masked like the single-device layout.
+    t_dst = dot32(nf, w_dst).astype(nf.dtype)
+    rl_g = jnp.minimum(rl, Npad - 1)
+    fused_dst = False
+    if use_pallas():
+        from ..ops.pallas.gather import (sorted_gather_add,
+                                         supports_sorted_gather)
+        if supports_sorted_gather(Epad, Npad, de_o,
+                                  t_dst.dtype.itemsize):
+            acc = sorted_gather_add(t_dst, rl_g, acc)
+            fused_dst = True
+    if not fused_dst:
+        acc = acc + scatter.take_rows_sorted_grad(
+            t_dst, rl_g, idx_sorted=True).astype(jnp.float32)
+
+    # ef term completes the row — LN fused into the matmul when requested.
+    if de > 0 and ef_ln is not None:
+        from ..ops.pallas.ln_linear import ln_matmul
+        h_ef = ln_matmul(ef, ef_ln["scale"], ef_ln["bias"], w_ef,
+                         addend=acc).astype(nf.dtype)
+    elif de > 0:
+        h_ef = (dot32(ef, w_ef) + acc).astype(nf.dtype)
+    else:
+        h_ef = acc.astype(nf.dtype)
 
     # -- node update: local segment_sum (edges live with receivers) -----
-    agg = scatter.segment_sum(h_ef, rl, Npad, em,
-                              indices_are_sorted=False)
-    g2n = jnp.broadcast_to(gf[0], (Npad, gf.shape[1]))
-    h_nf = nodefn.apply(params["nodefn"],
-                        jnp.concatenate([agg, nf, g2n], -1))
+    # rl is ascending with pads at Npad (the overflow segment, sliced
+    # off), so the mask-free sorted kernel applies — the same contract as
+    # the single-device canonical layout.
+    agg = scatter.segment_sum(h_ef, rl, Npad + 1,
+                              indices_are_sorted=True,
+                              sorted_pad_safe=True)[:Npad]
+    from ..models.gn_block import _linear_split
+    h_nf = _linear_split(params["nodefn"], nf.dtype,
+                         [(agg, None), (nf, None), (gf, None)], rows=Npad)
 
     # -- global update: partial pools + psum, replicated compute --------
     e_pool = jnp.sum(jnp.where(em[:, None], h_ef, 0.0), axis=0)
@@ -580,24 +648,30 @@ def partition_edges_assigned(senders: np.ndarray, receivers: np.ndarray,
 def _partition_relabelled(senders, receivers, nf_padded, S, npad, ef, gf,
                           edge_pad_multiple, real_counts):
     """Build a PartitionedGraph from already shard-blocked node ids
-    (shard ``s`` owns ids ``[s*npad, s*npad + real_counts[s])``)."""
+    (shard ``s`` owns ids ``[s*npad, s*npad + real_counts[s])``).  Edges
+    are sorted by local receiver and pads target segment ``npad``, like
+    :func:`partition_edges`."""
     owner = receivers // npad
     counts = np.bincount(owner, minlength=S)
     epad = int(-(-max(int(counts.max()), 1) // edge_pad_multiple)
                * edge_pad_multiple)
     sg = np.zeros((S, epad), np.int32)
-    rl = np.zeros((S, epad), np.int32)
+    rl = np.full((S, epad), npad, np.int32)
     em = np.zeros((S, epad), bool)
+    eidx = np.full((S, epad), -1, np.int64)
     nm = np.zeros((S, npad), bool)
     nfp = np.zeros((S, npad, nf_padded.shape[1]), np.float32)
     efp = (np.zeros((S, epad, ef.shape[1]), np.float32)
            if ef is not None else None)
     for s in range(S):
-        sel = owner == s
-        k = int(sel.sum())
+        sel = np.where(owner == s)[0]
+        rls = receivers[sel] - s * npad
+        sel = sel[np.argsort(rls, kind="stable")]
+        k = len(sel)
         sg[s, :k] = senders[sel]
         rl[s, :k] = receivers[sel] - s * npad
         em[s, :k] = True
+        eidx[s, :k] = sel
         nm[s, : int(real_counts[s])] = True
         nfp[s] = nf_padded[s * npad:(s + 1) * npad]
         if ef is not None:
@@ -609,6 +683,7 @@ def _partition_relabelled(senders, receivers, nf_padded, S, npad, ef, gf,
         ef=jnp.asarray(efp) if efp is not None else None,
         gf=jnp.asarray(gf[None, :].astype(np.float32))
         if gf is not None else None,
+        edge_index=eidx,
     )
 
 

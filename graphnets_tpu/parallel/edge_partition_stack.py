@@ -45,10 +45,18 @@ __all__ = [
 
 
 def _core_local(core: GNCore, params, send_idx, sender_pos, rl, em, nm,
-                nf, ef, gf, axis: str):
+                nf, ef, gf, axis: str, training: bool = False):
     """Per-shard GNCore body: ``y = x + Block(LN1(x)) + FF(LN2(x))``
     (parallel-branch residual, ``/root/reference/src/gncore.jl:56-59``).
     LN/FF/residual are per-row (shard-local); the block body exchanges halos.
+
+    With Pallas on, this runs the SAME fused kernel stack as the
+    single-device ``GNCore.apply``: the pre-block edge LayerNorm fuses
+    into the edge-update matmul (``ln_matmul`` via ``ef_ln``), and the
+    whole second branch + both residuals run as ``ln_ffn_residual`` per
+    feature set.  The training-mode fused-FFN dim gate mirrors
+    ``GNCore._FUSED_FFN_TRAIN_MAX_DIM`` (the flash-style backward loses to
+    XLA above it).
     """
     de, dn, dg = core.dims
     eln, nln, gln = LayerNorm(de), LayerNorm(dn), LayerNorm(dg)
@@ -57,13 +65,37 @@ def _core_local(core: GNCore, params, send_idx, sender_pos, rl, em, nm,
                      FeedForward(dg, core.dropout))
     block = core._parts()[0]
 
+    from ..utils.config import use_pallas
+    pallas = use_pallas()
     ln1 = params["gn1"]
-    b_ef, b_nf, b_gf = block_local_v3(
-        block, params["block"], send_idx, sender_pos, rl, em, nm,
-        nln.apply(ln1["nodeln"], nf), eln.apply(ln1["edgeln"], ef),
-        gln.apply(ln1["graphln"], gf), axis)
+    if pallas:
+        # Edge LN deferred into the edge-update matmul (one HBM pass).
+        b_ef, b_nf, b_gf = block_local_v3(
+            block, params["block"], send_idx, sender_pos, rl, em, nm,
+            nln.apply(ln1["nodeln"], nf), ef,
+            gln.apply(ln1["graphln"], gf), axis, ef_ln=ln1["edgeln"])
+    else:
+        b_ef, b_nf, b_gf = block_local_v3(
+            block, params["block"], send_idx, sender_pos, rl, em, nm,
+            nln.apply(ln1["nodeln"], nf), eln.apply(ln1["edgeln"], ef),
+            gln.apply(ln1["graphln"], gf), axis)
 
     ln2, ff = params["gn2"], params["ffwd"]
+    use_fused_ffn = (pallas and (core.dropout == 0 or not training)
+                     and (not training
+                          or de <= GNCore._FUSED_FFN_TRAIN_MAX_DIM))
+    if use_fused_ffn:
+        from ..ops.pallas.fused_ffn import ln_ffn_residual
+
+        def one(x, extra, ln_key, ff_key):
+            p, f = ln2[ln_key], ff[ff_key]
+            return ln_ffn_residual(x, p["scale"], p["bias"],
+                                   f["0"]["w"], f["0"]["b"],
+                                   f["1"]["w"], f["1"]["b"], extra=extra)
+
+        return (one(ef, b_ef, "edgeln", "eff"),
+                one(nf, b_nf, "nodeln", "nff"),
+                one(gf, b_gf, "graphln", "gff"))
     f_ef = eff.apply(ff["eff"], eln.apply(ln2["edgeln"], ef))
     f_nf = nff.apply(ff["nff"], nln.apply(ln2["nodeln"], nf))
     f_gf = gff.apply(ff["gff"], gln.apply(ln2["graphln"], gf))
@@ -71,14 +103,15 @@ def _core_local(core: GNCore, params, send_idx, sender_pos, rl, em, nm,
 
 
 def _epd_local(model: EncodeProcessDecode, params, send_idx, sender_pos,
-               rl, em, nm, nf, ef, gf, axis: str):
+               rl, em, nm, nf, ef, gf, axis: str, training: bool = False):
     """Per-shard EncodeProcessDecode body (whole stack, one shard_map)."""
     enc, cores, dec = model._parts()
     ef, nf, gf = block_local_v3(enc, params["encoder"], send_idx, sender_pos,
                                 rl, em, nm, nf, ef, gf, axis)
     for i, core in enumerate(cores.cores):
         ef, nf, gf = _core_local(core, params["core"][str(i)], send_idx,
-                                 sender_pos, rl, em, nm, nf, ef, gf, axis)
+                                 sender_pos, rl, em, nm, nf, ef, gf, axis,
+                                 training=training)
     return block_local_v3(dec, params["decoder"], send_idx, sender_pos,
                           rl, em, nm, nf, ef, gf, axis)
 
@@ -125,7 +158,8 @@ def gn_core_partitioned(core: GNCore, params, pg: PartitionedGraph,
 
 def encode_process_decode_partitioned(
         model: EncodeProcessDecode, params, pg: PartitionedGraph,
-        plan: HaloPlan, mesh: Mesh, axis: str = "graph") -> PartitionedGraph:
+        plan: HaloPlan, mesh: Mesh, axis: str = "graph",
+        training: bool = False) -> PartitionedGraph:
     """Full EncodeProcessDecode over an edge-partitioned graph, one
     ``shard_map`` for the entire stack — the trainable counterpart of the
     reference's example model (``/root/reference/examples/sort/sort.jl:51-81``)
@@ -133,7 +167,7 @@ def encode_process_decode_partitioned(
 
     def local(params, send_idx, sender_pos, rl, em, nm, nf, ef, gf):
         return _epd_local(model, params, send_idx, sender_pos, rl, em, nm,
-                          nf, ef, gf, axis)
+                          nf, ef, gf, axis, training=training)
 
     return _run_partitioned(local, params, pg, plan, mesh, axis,
                             model.y_dims)
@@ -183,7 +217,7 @@ def make_partitioned_train_step(model: EncodeProcessDecode, optimizer,
     def step(state, pg: PartitionedGraph, y_nf, y_ef):
         def loss_of(params):
             pred = encode_process_decode_partitioned(
-                model, params, pg, plan, mesh, axis)
+                model, params, pg, plan, mesh, axis, training=True)
             return loss_fn(pred, y_nf, y_ef), pred
 
         (loss, pred), grads = jax.value_and_grad(

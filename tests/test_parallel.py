@@ -132,15 +132,17 @@ def test_edge_partitioned_matches_single_device(cpu_devices):
     np.testing.assert_allclose(np.asarray(out.gf)[0],
                                np.asarray(y_ref.gf)[0],
                                rtol=1e-4, atol=1e-5)
-    # Edge outputs: compare per-shard rows against reference rows.
+    # Edge outputs: pg.edge_index maps each shard slot (receiver-sorted
+    # canonical order) back to the input edge array.
     owner = np.minimum(receivers // npad, 7)
     ef_ref = np.asarray(y_ref.ef)
     ef_out = np.asarray(out.ef)
     em = np.asarray(pg.edge_mask)
+    ei = pg.edge_index
     for s in range(8):
-        sel = np.where(owner == s)[0]
-        k = len(sel)
-        np.testing.assert_allclose(ef_out[s, :k], ef_ref[sel],
+        k = int((ei[s] >= 0).sum())
+        assert k == int((owner == s).sum())
+        np.testing.assert_allclose(ef_out[s, :k], ef_ref[ei[s, :k]],
                                    rtol=1e-4, atol=1e-5)
         assert em[s, :k].all() and not em[s, k:].any()
 
@@ -501,14 +503,13 @@ def test_partitioned_stack_forward_matches_single_device(cpu_devices):
     nf_out = np.asarray(out.nf).reshape(S * npad, -1)
     np.testing.assert_allclose(nf_out[nm], np.asarray(y_ref.nf),
                                rtol=2e-4, atol=2e-5)
-    # edges: shard s holds (in order) the reference rows whose receiver it
-    # owns
-    owner = np.minimum(receivers // npad, S - 1)
+    # edges: pg.edge_index maps shard slots (receiver-sorted) to input rows
     ef_ref = np.asarray(y_ref.ef)
     ef_out = np.asarray(out.ef)
+    ei = pg.edge_index
     for s in range(S):
-        sel = np.where(owner == s)[0]
-        np.testing.assert_allclose(ef_out[s, :len(sel)], ef_ref[sel],
+        k = int((ei[s] >= 0).sum())
+        np.testing.assert_allclose(ef_out[s, :k], ef_ref[ei[s, :k]],
                                    rtol=2e-4, atol=2e-5)
 
 
@@ -689,3 +690,71 @@ def test_dp_dropout_rng_decorrelated(cpu_devices):
                     jax.tree_util.tree_leaves(params_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_partitioned_stack_kernels_interpret_match(cpu_devices):
+    """The partitioned stack with the Pallas kernel paths ENGAGED
+    (interpreter mode; dims/pads chosen so the sorted-gather, sorted
+    segment-sum, ln_matmul and fused-FFN support gates all pass) == the
+    pure-XLA single-device model.  This pins the round-4 unification: the
+    multi-chip path runs the same kernel stack as the single-chip path."""
+    from graphnets_tpu.parallel.edge_partition import (build_halo_plan,
+                                                       partition_edges)
+    from graphnets_tpu.parallel.edge_partition_stack import (
+        encode_process_decode_partitioned)
+    from graphnets_tpu.utils.config import enable_pallas
+
+    S = 4
+    mesh = _mesh(cpu_devices, S, names=("graph",))
+    rng = np.random.default_rng(61)
+    N, deg, vocab = 128, 6, 8          # npad = 32 (%32), Epad -> %128
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, vocab)).astype(np.float32)
+
+    model = EncodeProcessDecode(x_dims=(0, vocab, 0),
+                                core_dims=(128, 128, 128),
+                                y_dims=(2, 2, 0), n_cores=1)
+    params = model.init(jax.random.PRNGKey(62))
+
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=None, nf=jnp.asarray(nf), gf=None)
+    y_ref = model.apply(params, g)      # pure path (pallas disabled)
+
+    pg = partition_edges(senders, receivers, nf, num_shards=S,
+                         edge_pad_multiple=128)
+    plan = build_halo_plan(pg)
+    # Sanity: this shape actually engages the kernels.
+    from graphnets_tpu.ops.pallas.gather import supports_sorted_gather
+    from graphnets_tpu.ops.pallas.segment_sum import \
+        supports_sorted_segment_sum
+    Epad = int(pg.receivers_local.shape[1])
+    npad = pg.nodes_per_shard
+    assert supports_sorted_gather(Epad, npad, 128, 4)
+    assert supports_sorted_segment_sum(Epad, npad + 1, 128)
+
+    enable_pallas(True, interpret=True)
+    try:
+        out = encode_process_decode_partitioned(model, params, pg, plan,
+                                                mesh)
+    finally:
+        enable_pallas(False, interpret=False)
+
+    nm = np.asarray(pg.node_mask).reshape(-1)
+    nf_out = np.asarray(out.nf).reshape(S * npad, -1)
+    np.testing.assert_allclose(nf_out[nm], np.asarray(y_ref.nf),
+                               rtol=2e-4, atol=2e-5)
+    ef_ref = np.asarray(y_ref.ef)
+    ef_out = np.asarray(out.ef)
+    ei = pg.edge_index
+    for s in range(S):
+        k = int((ei[s] >= 0).sum())
+        np.testing.assert_allclose(ef_out[s, :k], ef_ref[ei[s, :k]],
+                                   rtol=2e-4, atol=2e-5)
