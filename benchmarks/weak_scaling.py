@@ -18,8 +18,13 @@ B. **Analytic ICI model** — exact per-chip halo traffic counted from the
 
    * compute: 3-core stack forward = D^2*(18E + 26N + 22G) FLOPs (matches
      the 142 GFLOP measured headline at D=384/E=16384); train = 3x fwd.
-   * measured sustained rate on this chip: 0.73 * 197e12 = 144 TFLOP/s
-     (BENCH_r02: 1.09 ms for 142 GFLOP).
+   * sustained rate: measured on the PARTITIONED path itself at S=1 on
+     the real chip (round 4: benchmarks/bench_partitioned.py — the
+     shard_map body runs the same Pallas kernel stack as the single-chip
+     path and its S=1 train step is ~6% FASTER than the unpartitioned
+     one): 426.7 GFLOP train step in 4.455 ms = 95.8 TFLOP/s.  The
+     efficiency denominator is therefore the real per-chip rate of the
+     code that actually runs multi-chip, not an unpartitioned ideal.
    * ICI (public v5e figures): 4 links x 45 GB/s per direction.  The v3
      halo all_to_all rides 2 links of a ring/torus neighborhood —
      assume 90 GB/s aggregate per chip, and also report the worst-case
@@ -65,7 +70,9 @@ from graphnets_tpu.parallel.mesh import make_mesh  # noqa: E402
 from graphnets_tpu.training.train import TrainState  # noqa: E402
 
 PEAK = 197e12          # v5e bf16 peak FLOP/s
-SUSTAINED = 0.73 * PEAK  # measured stack rate (BENCH_r02 headline)
+# Measured PARTITIONED-path train rate at S=1 on the real chip
+# (benchmarks/out/bench_partitioned_r4.txt: 426.7 GFLOP / 4.455 ms).
+SUSTAINED = 95.8e12
 ICI_LINK = 45e9        # bytes/s, one direction, one link (public v5e)
 ICI_NEIGH = 2 * ICI_LINK  # halo all_to_all over a torus neighborhood
 
@@ -166,7 +173,7 @@ def main():
     results = {"analytic": [], "measured": []}
 
     # B. analytic ICI model at the two standing configs
-    print("== analytic ICI model (v5e: 144 TFLOP/s sustained, "
+    print("== analytic ICI model (v5e: 95.8 TFLOP/s measured partitioned-path rate, "
           "90 GB/s neighborhood ICI) ==")
     for S in (2, 4, 8, 16):
         rng = np.random.default_rng(1)

@@ -38,9 +38,11 @@ from .edge_partition import HaloPlan, PartitionedGraph, block_local_v3
 
 __all__ = [
     "gn_core_partitioned",
+    "gn_core_list_partitioned",
     "encode_process_decode_partitioned",
     "partitioned_loss_nf_ef",
     "make_partitioned_train_step",
+    "make_partitioned_core_list_train_step",
 ]
 
 
@@ -154,6 +156,52 @@ def gn_core_partitioned(core: GNCore, params, pg: PartitionedGraph,
                            nf, ef, gf, axis)
 
     return _run_partitioned(local, params, pg, plan, mesh, axis, core.dims)
+
+
+def gn_core_list_partitioned(cores, params, pg: PartitionedGraph,
+                             plan: HaloPlan, mesh: Mesh,
+                             axis: str = "graph", training: bool = False
+                             ) -> PartitionedGraph:
+    """A GNCoreList over an edge-partitioned graph in ONE ``shard_map`` —
+    the partitioned counterpart of the headline 3-core stack
+    (``bench.py``), same kernel engagement as :func:`gn_core_partitioned`.
+    ``cores``: a ``GNCoreList`` (or any object with ``.cores``)."""
+
+    def local(params, send_idx, sender_pos, rl, em, nm, nf, ef, gf):
+        for i, core in enumerate(cores.cores):
+            ef, nf, gf = _core_local(core, params[str(i)], send_idx,
+                                     sender_pos, rl, em, nm, nf, ef, gf,
+                                     axis, training=training)
+        return ef, nf, gf
+
+    return _run_partitioned(local, params, pg, plan, mesh, axis,
+                            cores.cores[-1].dims)
+
+
+def make_partitioned_core_list_train_step(cores, optimizer, plan: HaloPlan,
+                                          mesh: Mesh, axis: str = "graph",
+                                          loss_fn: Optional[Callable] = None):
+    """Jittable train step for a partitioned GNCoreList (mirrors
+    :func:`make_partitioned_train_step`)."""
+    loss_fn = loss_fn or partitioned_loss_nf_ef
+
+    def step(state, pg: PartitionedGraph, y_nf, y_ef):
+        def loss_of(params):
+            pred = gn_core_list_partitioned(cores, params, pg, plan, mesh,
+                                            axis, training=True)
+            return loss_fn(pred, y_nf, y_ef), pred
+
+        (loss, _), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        return dataclasses.replace(
+            state, params=params, opt_state=opt_state,
+            step=state.step + 1), {"loss": loss}
+
+    return step
 
 
 def encode_process_decode_partitioned(
