@@ -76,7 +76,16 @@ def main():
     print(f"# graph build: {time.perf_counter()-t0:.1f}s  "
           f"N={g.num_nodes} E={g.num_edges}", file=sys.stderr)
 
-    sampler = NeighborSampler(g, fanouts=FANOUTS, batch_size=BATCH, seed=1)
+    # Round 4: device-resident features + index-only batches.  Round 3's
+    # sampler was dominated by gathering and shipping ~29 MB of node
+    # features per batch host->device; now the [N+1, D] feature table
+    # lives in HBM once and each batch carries only int32 node ids (the
+    # in-step device gather assembles nf).  The native sampler itself is
+    # threaded (gt_sample_layer_par).
+    from graphnets_tpu.data.large_graph import device_feature_table
+    sampler = NeighborSampler(g, fanouts=FANOUTS, batch_size=BATCH, seed=1,
+                              emit_node_ids=True)
+    feat_dev = device_feature_table(g, DTYPE)
     model = EncodeProcessDecode((0, D_FEAT, 0), (HIDDEN, HIDDEN, HIDDEN),
                                 (1, N_CLASSES, 0), n_cores=N_CORES)
     params = model.init(jax.random.PRNGKey(0))
@@ -90,7 +99,10 @@ def main():
             gf=gt.gf.astype(DTYPE) if gt.gf is not None else None)
 
     @jax.jit
-    def step(params, opt_state, graph, labels, label_mask, seed_idx):
+    def step(params, opt_state, graph, node_ids, labels, label_mask,
+             seed_idx, feat):
+        graph = graph.with_features(nf=jnp.take(feat, node_ids, axis=0))
+
         def loss_fn(p):
             pred = model.apply(p, graph, training=True)
             logits = pred.nf[seed_idx]
@@ -125,8 +137,8 @@ def main():
         return (params, opt_state)
 
     def _step_core(params, opt_state):
-        return step(params, opt_state, graph0, b0.labels, b0.label_mask,
-                    b0.seed_local_idx)
+        return step(params, opt_state, graph0, b0.node_ids, b0.labels,
+                    b0.label_mask, b0.seed_local_idx, feat_dev)
 
     from bench import time_iterated
     t_step = time_iterated(carry_step, (params, opt_state), l1=3, l2=24)
@@ -149,16 +161,17 @@ def main():
     K = len(batches)
     stacked = jtu.tree_map(
         lambda *xs: jnp.stack(xs),
-        *[(cast_g(b.graph), b.labels, b.label_mask, b.seed_local_idx)
-          for b in batches])
+        *[(cast_g(b.graph), b.node_ids, b.labels, b.label_mask,
+           b.seed_local_idx) for b in batches])
 
     def cycle_step(carry):
         params, opt_state, i, stk = carry
         xs = jtu.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, i % K, 0,
                                                    keepdims=False), stk)
-        gr, lab, lm, si = xs
-        params, opt_state, _ = step(params, opt_state, gr, lab, lm, si)
+        gr, nid, lab, lm, si = xs
+        params, opt_state, _ = step(params, opt_state, gr, nid, lab, lm,
+                                    si, feat_dev)
         return (params, opt_state, i + 1, stk)
 
     t_cycle = time_iterated(cycle_step,

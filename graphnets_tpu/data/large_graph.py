@@ -19,7 +19,8 @@ import numpy as np
 
 from ..graph import GraphsTuple
 
-__all__ = ["LargeGraph", "NeighborSampler", "SampledBatch"]
+__all__ = ["LargeGraph", "NeighborSampler", "SampledBatch",
+           "device_feature_table"]
 
 
 @dataclasses.dataclass
@@ -59,6 +60,22 @@ class SampledBatch:
     seed_local_idx: jnp.ndarray   # positions of the seed nodes in graph.nf
     labels: Optional[jnp.ndarray]  # [num_seeds] labels of seeds
     label_mask: jnp.ndarray       # [num_seeds] False for padded seeds
+    # emit_node_ids mode: global node id per subgraph node slot (pad slots
+    # -> num_nodes, the zero row of a device-resident feature table built
+    # by :func:`device_feature_table`); ``graph.nf`` is None and the
+    # training step gathers features ON DEVICE — the batch ships ~KBs of
+    # indices instead of ~MBs of gathered features (the round-3 sampler
+    # bottleneck was exactly this host->device feature traffic).
+    node_ids: Optional[np.ndarray] = None
+
+
+def device_feature_table(g: "LargeGraph", dtype=None):
+    """Device-resident ``[N + 1, D]`` feature table (last row = zeros, the
+    pad row ``node_ids`` point at).  Build once; reuse across batches."""
+    feat = np.concatenate(
+        [g.node_feat, np.zeros((1, g.node_feat.shape[1]), np.float32)])
+    arr = jnp.asarray(feat)
+    return arr.astype(dtype) if dtype is not None else arr
 
 
 class NeighborSampler:
@@ -72,11 +89,16 @@ class NeighborSampler:
     """
 
     def __init__(self, g: LargeGraph, fanouts: Sequence[int],
-                 batch_size: int, seed: int = 0):
+                 batch_size: int, seed: int = 0,
+                 emit_node_ids: bool = False):
         self.g = g
         self.fanouts = tuple(fanouts)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        # emit_node_ids: batches carry global node INDICES instead of
+        # host-gathered features (graph.nf = None); pair with
+        # :func:`device_feature_table` and an in-step device gather.
+        self.emit_node_ids = emit_node_ids
         # Static capacities.
         caps_nodes = [batch_size]
         caps_edges = []
@@ -152,8 +174,17 @@ class NeighborSampler:
         senders[E:] = N
         receivers[E:] = N
 
-        nf = np.zeros((NP, g.node_feat.shape[1]), np.float32)
-        nf[:N] = g.node_feat[all_nodes]
+        node_ids = None
+        if self.emit_node_ids:
+            nf_arr = None
+            node_ids = np.full(NP, g.num_nodes, np.int32)  # pad row
+            node_ids[:N] = all_nodes
+            node_ids = jnp.asarray(node_ids)
+        else:
+            from ..runtime import native
+            nf = np.zeros((NP, g.node_feat.shape[1]), np.float32)
+            native.gather_rows(g.node_feat, all_nodes, out=nf[:N])
+            nf_arr = jnp.asarray(nf)
 
         graph = GraphsTuple(
             senders=jnp.asarray(senders),
@@ -165,7 +196,7 @@ class NeighborSampler:
             node_mask=jnp.asarray(np.arange(NP) < N),
             edge_mask=jnp.asarray(np.arange(EP) < E),
             graph_mask=jnp.ones((1,), bool),
-            ef=None, nf=jnp.asarray(nf), gf=None,
+            ef=None, nf=nf_arr, gf=None,
         )
         labels = None
         if g.labels is not None:
@@ -177,6 +208,7 @@ class NeighborSampler:
             seed_local_idx=jnp.asarray(np.arange(B, dtype=np.int32)),
             labels=labels,
             label_mask=jnp.asarray(np.arange(B) < n_seeds),
+            node_ids=node_ids,
         )
 
     def epoch(self, train_nodes: np.ndarray, shuffle: bool = True):

@@ -351,6 +351,40 @@ class GNBlock(Module):
                 return fused_edge_update(
                     ef, ef_ln, w0, ts, tr, tg, b, g.senders, g.receivers,
                     n_slots, e_slots).astype(dtype)
+        if use_pallas() and G == 1 and de > 0 and dn > 0:
+            # Single-graph (large-graph) fused path: receivers are
+            # globally ascending in canonical order, so the receiver
+            # gather + LN(ef) @ W + sender/graph/bias addends fuse into
+            # ONE kernel pass (ops/pallas/edge_update_g1.py).  The sender
+            # gather (random access) stays an XLA stream feeding the
+            # kernel's addend input.
+            from ..ops.pallas.edge_update_g1 import (
+                fused_g1_edge_update, supports_g1_edge_update)
+            from ..utils.config import bf16_gather_partials
+            bf16_parts = (ef.dtype == jnp.bfloat16
+                          and bf16_gather_partials(E))
+            itemsize = 2 if bf16_parts else 4
+            if supports_g1_edge_update(E, N, de, de_o, itemsize):
+                w, b = params["edgefn"]["w"], params["edgefn"].get("b")
+                mm = lambda x, ws: jax.lax.dot_general(
+                    x, ws.astype(x.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                pdt = ef.dtype if bf16_parts else jnp.float32
+                ts = mm(nf, jax.lax.slice_in_dim(w, de, de + dn,
+                                                 axis=0)).astype(pdt)
+                tr = mm(nf, jax.lax.slice_in_dim(w, de + dn, de + 2 * dn,
+                                                 axis=0)).astype(pdt)
+                src = scatter.take_rows_sorted_grad(ts, g.senders)
+                gb = jnp.zeros((de_o,), jnp.float32)
+                if dg > 0:
+                    gb = gb + mm(gf, jax.lax.slice_in_dim(
+                        w, de + 2 * dn, de + 2 * dn + dg, axis=0))[0]
+                if b is not None:
+                    gb = gb + b.astype(jnp.float32)
+                w0 = jax.lax.slice_in_dim(w, 0, de, axis=0)
+                return fused_g1_edge_update(ef, ef_ln, w0, src, tr,
+                                            g.receivers, gb).astype(dtype)
         # senders are unsorted WITHIN each graph but graph-local: with
         # many small graphs the backward scatter can use per-graph edge
         # windows (windowed one-hot kernel) instead of an argsort.

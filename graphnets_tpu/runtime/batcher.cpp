@@ -12,6 +12,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -128,6 +130,119 @@ int64_t gt_sample_layer(const int64_t* indptr, const int64_t* src,
   }
   delete[] scratch;
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel fixed-fanout sampling (round 4: the per-seed loops are
+// independent, so the layer parallelizes across frontier chunks).
+//
+// Two-pass: per-node sample counts + exclusive prefix sum give each node a
+// private output range, then threads fill disjoint chunks.  Each frontier
+// node draws from its OWN xorshift stream seeded by (seed, i), so results
+// are deterministic and independent of the thread count (they differ from
+// gt_sample_layer's single sequential stream — both are valid uniform
+// fixed-fanout draws).
+static void sample_range(const int64_t* indptr, const int64_t* src,
+                         const int64_t* frontier, const int64_t* pos,
+                         int64_t lo_i, int64_t hi_i, int64_t fanout,
+                         uint64_t seed, const int64_t* offs,
+                         int64_t* sampled_src, int64_t* recv_pos) {
+  int64_t scratch_cap = 0;
+  int64_t* scratch = nullptr;
+  for (int64_t i = lo_i; i < hi_i; ++i) {
+    const int64_t v = frontier[i];
+    const int64_t lo = indptr[v], hi = indptr[v + 1];
+    const int64_t d = hi - lo;
+    if (d <= 0) continue;
+    int64_t out = offs[i];
+    if (d <= fanout) {
+      for (int64_t t = 0; t < d; ++t) {
+        sampled_src[out] = src[lo + t];
+        recv_pos[out] = pos[i];
+        ++out;
+      }
+    } else {
+      uint64_t st[2] = {
+          seed ^ (0x9E3779B97F4A7C15ull * (uint64_t)(i + 1)),
+          (seed + 0xD1B54A32D192ED03ull * (uint64_t)(i + 1)) | 1ull};
+      xs128(st);  // decorrelate nearby seeds
+      if (d > scratch_cap) {
+        delete[] scratch;
+        scratch_cap = d * 2;
+        scratch = new int64_t[scratch_cap];
+      }
+      for (int64_t t = 0; t < d; ++t) scratch[t] = lo + t;
+      const int64_t k = fanout;
+      for (int64_t t = 0; t < k; ++t) {  // partial Fisher-Yates
+        const int64_t r = t + (int64_t)(xs128(st) % (uint64_t)(d - t));
+        std::swap(scratch[t], scratch[r]);
+        sampled_src[out] = src[scratch[t]];
+        recv_pos[out] = pos[i];
+        ++out;
+      }
+    }
+  }
+  delete[] scratch;
+}
+
+int64_t gt_sample_layer_par(const int64_t* indptr, const int64_t* src,
+                            const int64_t* frontier, const int64_t* pos,
+                            int64_t n_frontier, int64_t fanout,
+                            uint64_t seed, int64_t* sampled_src,
+                            int64_t* recv_pos, int64_t max_out,
+                            int64_t n_threads) {
+  std::vector<int64_t> offs(n_frontier + 1);
+  offs[0] = 0;
+  for (int64_t i = 0; i < n_frontier; ++i) {
+    int64_t d = indptr[frontier[i] + 1] - indptr[frontier[i]];
+    if (d < 0) d = 0;
+    offs[i + 1] = offs[i] + (d < fanout ? d : fanout);
+  }
+  const int64_t total = offs[n_frontier];
+  if (total > max_out) return -1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || n_frontier < 1024) {
+    sample_range(indptr, src, frontier, pos, 0, n_frontier, fanout, seed,
+                 offs.data(), sampled_src, recv_pos);
+    return total;
+  }
+  std::vector<std::thread> ts;
+  const int64_t chunk = (n_frontier + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(lo + chunk, n_frontier);
+    if (lo >= hi) break;
+    ts.emplace_back(sample_range, indptr, src, frontier, pos, lo, hi,
+                    fanout, seed, offs.data(), sampled_src, recv_pos);
+  }
+  for (auto& th : ts) th.join();
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel float32 row gather: out[i] = in[idx[i]] (feature assembly for
+// sampled subgraphs; numpy fancy indexing is single-threaded).
+void gt_gather_rows_f32_par(const float* in, const int64_t* idx, int64_t n,
+                            int64_t d, float* out, int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      std::memcpy(out + i * d, in + idx[i] * d, sizeof(float) * d);
+    }
+  };
+  if (n_threads == 1 || n < 4096) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(lo + chunk, n);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
 }
 
 // ---------------------------------------------------------------------------

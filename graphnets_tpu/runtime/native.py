@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["available", "batch_coo", "csc_from_coo", "sample_layer",
-           "partition_edges", "refine_partition"]
+           "gather_rows", "partition_edges", "refine_partition"]
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -32,7 +32,8 @@ def _build() -> Optional[str]:
     if (os.path.exists(so)
             and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
         return so
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", so]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so
@@ -65,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gt_sample_layer.restype = i64
         lib.gt_sample_layer.argtypes = [P(i64), P(i64), P(i64), P(i64), i64,
                                         i64, u64, P(i64), P(i64), i64]
+        lib.gt_sample_layer_par.restype = i64
+        lib.gt_sample_layer_par.argtypes = [P(i64), P(i64), P(i64), P(i64),
+                                            i64, i64, u64, P(i64), P(i64),
+                                            i64, i64]
+        lib.gt_gather_rows_f32_par.restype = None
+        lib.gt_gather_rows_f32_par.argtypes = [P(f32), P(i64), i64, i64,
+                                               P(f32), i64]
         lib.gt_partition_edges.restype = None
         lib.gt_partition_edges.argtypes = [P(i64), i64, i64, i64, P(i64),
                                            P(i64)]
@@ -137,11 +145,21 @@ def csc_from_coo(senders: np.ndarray, receivers: np.ndarray, n: int
     return indptr, src
 
 
+def _default_threads() -> int:
+    return max(1, os.cpu_count() or 1)
+
+
 def sample_layer(indptr: np.ndarray, src: np.ndarray, frontier: np.ndarray,
-                 pos: np.ndarray, fanout: int, seed: int
+                 pos: np.ndarray, fanout: int, seed: int,
+                 threads: Optional[int] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample <= fanout incoming edges per frontier node (native only;
-    callers fall back to their own numpy loop when unavailable)."""
+    callers fall back to their own numpy loop when unavailable).
+
+    Parallel across frontier chunks (round 4 — the per-seed loops are
+    independent): each node draws from its own (seed, position)-keyed
+    stream, so the result is deterministic and independent of ``threads``.
+    """
     lib = _load()
     assert lib is not None
     frontier = np.ascontiguousarray(frontier, np.int64)
@@ -151,15 +169,37 @@ def sample_layer(indptr: np.ndarray, src: np.ndarray, frontier: np.ndarray,
     max_out = len(frontier) * fanout
     out_src = np.empty(max_out, np.int64)
     out_pos = np.empty(max_out, np.int64)
-    k = lib.gt_sample_layer(_ptr(indptr, ctypes.c_int64),
-                            _ptr(src, ctypes.c_int64),
-                            _ptr(frontier, ctypes.c_int64),
-                            _ptr(pos, ctypes.c_int64), len(frontier),
-                            fanout, np.uint64(seed),
-                            _ptr(out_src, ctypes.c_int64),
-                            _ptr(out_pos, ctypes.c_int64), max_out)
+    k = lib.gt_sample_layer_par(_ptr(indptr, ctypes.c_int64),
+                                _ptr(src, ctypes.c_int64),
+                                _ptr(frontier, ctypes.c_int64),
+                                _ptr(pos, ctypes.c_int64), len(frontier),
+                                fanout, np.uint64(seed),
+                                _ptr(out_src, ctypes.c_int64),
+                                _ptr(out_pos, ctypes.c_int64), max_out,
+                                threads or _default_threads())
     assert k >= 0
     return out_src[:k].copy(), out_pos[:k].copy()
+
+
+def gather_rows(feat: np.ndarray, idx: np.ndarray,
+                out: Optional[np.ndarray] = None,
+                threads: Optional[int] = None) -> np.ndarray:
+    """Threaded f32 row gather ``out[i] = feat[idx[i]]`` (feature assembly
+    for sampled subgraphs; numpy fancy indexing is single-threaded).
+    Falls back to numpy when the native lib is unavailable."""
+    idx = np.ascontiguousarray(idx, np.int64)
+    feat = np.ascontiguousarray(feat, np.float32)
+    lib = _load()
+    if out is None:
+        out = np.empty((len(idx), feat.shape[1]), np.float32)
+    if lib is None:
+        out[:len(idx)] = feat[idx]
+        return out
+    lib.gt_gather_rows_f32_par(_ptr(feat, ctypes.c_float),
+                               _ptr(idx, ctypes.c_int64), len(idx),
+                               feat.shape[1], _ptr(out, ctypes.c_float),
+                               threads or _default_threads())
+    return out
 
 
 def partition_edges(receivers: np.ndarray, nodes_per_shard: int,

@@ -48,6 +48,7 @@ _SLOW_TESTS = {
     "test_misc::test_tp_shardings",
     "test_misc::test_parity_harness_roundtrip",
     "test_core::test_corelist_remat_matches",
+    "test_core::test_epd_oracle_parity_flagship_dims",
     "test_core::test_encoder_core_decoder_stack",
     "test_core::test_core_shapes",
     "test_core::test_core_batch_invariance",

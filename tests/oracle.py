@@ -156,3 +156,16 @@ def gncore_dense(adj_mats, efs, nfs, gfs, params):
 def to_numpy_params(params):
     import jax
     return jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+
+
+def epd_dense(adj_mats, nfs, params, n_cores=2):
+    """EncodeProcessDecode forward with reference dense-broadcaster
+    semantics: encoder GNBlock (node-features-only input, zero-dim
+    ef/gf), ``n_cores`` GNCores, decoder GNBlock
+    (``/root/reference/examples/sort/sort.jl:51-81``)."""
+    ef, nf, gf = gnblock_dense(adj_mats, None, nfs, None,
+                               params["encoder"])
+    for i in range(n_cores):
+        ef, nf, gf = gncore_dense(adj_mats, ef, nf, gf,
+                                  params["core"][str(i)])
+    return gnblock_dense(adj_mats, ef, nf, gf, params["decoder"])

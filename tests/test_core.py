@@ -146,3 +146,35 @@ def test_corelist_remat_matches():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_epd_oracle_parity_flagship_dims():
+    """Full EncodeProcessDecode forward at the FLAGSHIP dims — encoder
+    zero-dim inputs (0, 100, 0) -> cores (384, 384, 384) x2 -> decoder
+    (2, 2, 0) with zero-dim gf output — against the independent dense
+    numpy oracle in one assertion chain (round-4 ask #6: oracle parity at
+    flagship scale, small batch since the oracle is O(PN^2))."""
+    from oracle import epd_dense
+    from graphnets_tpu.models.encode_process_decode import \
+        EncodeProcessDecode
+    rng = np.random.default_rng(9)
+    adjs = [ADJ1, ADJ2]
+    vocab = 100
+    nf = [rand_feats(rng, a.shape[0], vocab) for a in adjs]
+    x = gn.batch({"graphs": adjs, "ef": None, "nf": nf,
+              "gf": None}, pad=gn.PadSpec(16, 32, 4))
+
+    model = EncodeProcessDecode((0, vocab, 0), (384, 384, 384), (2, 2, 0),
+                                n_cores=2)
+    params = model.init(jax.random.PRNGKey(10))
+    y = gn.unbatch(model.apply(params, x))
+
+    o_ef, o_nf, o_gf = epd_dense(adjs, nf, to_numpy_params(params),
+                                 n_cores=2)
+    assert o_gf.shape[1] == 0 and y["gf"] is None or all(
+        g is None for g in y.get("gf", [None]))
+    for b in range(2):
+        np.testing.assert_allclose(y["ef"][b], o_ef[b], rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(y["nf"][b], o_nf[b], rtol=2e-4,
+                                   atol=2e-4)

@@ -83,3 +83,59 @@ def test_node_classification_learns():
                 b.seed_local_idx)
             losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_sampler_node_ids_mode_matches_feature_mode():
+    """emit_node_ids batches + a device feature-table gather reproduce the
+    host-gathered nf exactly (the round-4 device-resident-features path:
+    batches ship indices, the step gathers on device)."""
+    from graphnets_tpu.data.large_graph import device_feature_table
+    g, _ = random_graph(seed=3)
+    s_feat = NeighborSampler(g, fanouts=(5, 3), batch_size=8, seed=7)
+    s_idx = NeighborSampler(g, fanouts=(5, 3), batch_size=8, seed=7,
+                            emit_node_ids=True)
+    feat = device_feature_table(g)
+    seeds = np.arange(16, 24)
+    b_feat = s_feat.sample(seeds)
+    b_idx = s_idx.sample(seeds)
+    assert b_idx.graph.nf is None and b_idx.node_ids is not None
+    # identical subgraph structure (same rng stream per sampler instance)
+    np.testing.assert_array_equal(np.asarray(b_feat.graph.senders),
+                                  np.asarray(b_idx.graph.senders))
+    np.testing.assert_array_equal(np.asarray(b_feat.graph.receivers),
+                                  np.asarray(b_idx.graph.receivers))
+    nf_dev = jnp.take(feat, b_idx.node_ids, axis=0)
+    np.testing.assert_array_equal(np.asarray(nf_dev),
+                                  np.asarray(b_feat.graph.nf))
+
+
+def test_sample_layer_thread_count_invariant():
+    """The threaded native sampler draws per-node streams: results are
+    identical for threads=1 and threads=2."""
+    from graphnets_tpu.runtime import native
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    g, _ = random_graph(n=3000, avg_deg=8, seed=5)
+    frontier = np.arange(2048, dtype=np.int64)
+    pos = np.arange(2048, dtype=np.int64)
+    s1, p1 = native.sample_layer(g.indptr, g.src, frontier, pos, 4, 123,
+                                 threads=1)
+    s2, p2 = native.sample_layer(g.indptr, g.src, frontier, pos, 4, 123,
+                                 threads=2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(p1, p2)
+    # contract: <= fanout per frontier node, sources are real in-neighbors
+    counts = np.bincount(p1, minlength=2048)
+    assert counts.max() <= 4
+
+
+def test_prefetch_pool_multi_worker():
+    """PrefetchPool drains every worker's iterator exactly once."""
+    from graphnets_tpu.data.prefetch import PrefetchPool
+
+    def factory(wid):
+        return iter([(wid, i) for i in range(5)])
+
+    got = sorted(PrefetchPool(factory, num_workers=3, device_put=False))
+    assert got == sorted((w, i) for w in range(3) for i in range(5))

@@ -625,3 +625,96 @@ def test_gnblock_fused_gather_term_matches(interpret_mode):
     for a, b in zip(flat_p, flat_q):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("has_ln", [True, False])
+def test_fused_g1_edge_update_matches(interpret_mode, dtype, has_ln):
+    """Fused single-graph edge-update kernel == the composed-op reference
+    (LN(ef) @ W0 + src + tr[rl] + gb) in interpreter mode."""
+    from graphnets_tpu.ops.pallas.edge_update_g1 import (
+        _forward, _reference, supports_g1_edge_update)
+    E, N, d = 512, 64, 128
+    rng = np.random.default_rng(5)
+    ef = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32), dtype)
+    src = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32), dtype)
+    tr = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32), dtype)
+    w0 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05,
+                     dtype)
+    rl = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    gb = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    assert supports_g1_edge_update(E, N, d, d, 2)
+
+    out = _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
+    ref = _reference(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
+    tol = 2e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_fused_g1_edge_update_gradients(interpret_mode):
+    """custom_vjp of the fused G=1 edge update == autodiff of the composed
+    reference (f32)."""
+    from graphnets_tpu.ops.pallas.edge_update_g1 import _op, _reference
+    E, N, d = 256, 32, 128
+    rng = np.random.default_rng(6)
+    ef = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    w0 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+    rl = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    gb = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def f_kernel(ef, scale, bias, w0, src, tr, gb):
+        return jnp.sum(jnp.sin(_op(ef, scale, bias, w0, src, tr, rl, gb,
+                                   True)))
+
+    def f_ref(ef, scale, bias, w0, src, tr, gb):
+        return jnp.sum(jnp.sin(_reference(ef, scale, bias, w0, src, tr, rl,
+                                          gb, True)))
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        ef, scale, bias, w0, src, tr, gb)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        ef, scale, bias, w0, src, tr, gb)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_gnblock_g1_fused_path_matches_pure(interpret_mode):
+    """GNBlock routed through the fused G=1 edge update == the pure
+    concat-formulation block on a canonical single-graph input."""
+    from graphnets_tpu.graph import GraphsTuple
+    from graphnets_tpu.models.gn_block import GNBlock
+    from graphnets_tpu.utils.config import enable_pallas
+    E, N, d = 512, 64, 128
+    rng = np.random.default_rng(7)
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
+    g = GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=jnp.asarray(rng.normal(size=(E, d)).astype(np.float32)),
+        nf=jnp.asarray(rng.normal(size=(N, d)).astype(np.float32)),
+        gf=jnp.asarray(rng.normal(size=(1, d)).astype(np.float32)))
+    block = GNBlock((d, d, d), (d, d, d))
+    params = block.init(jax.random.PRNGKey(8))
+
+    out_fused = block.apply(params, g)       # pallas interpret: G=1 kernel
+    enable_pallas(False)
+    out_pure = block.apply(params, g)
+    enable_pallas(True, interpret=True)
+    for a, b in [(out_fused.ef, out_pure.ef), (out_fused.nf, out_pure.nf),
+                 (out_fused.gf, out_pure.gf)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
