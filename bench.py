@@ -78,7 +78,7 @@ def cast_params(p):
     return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
 
 
-def time_iterated(step_fn, carry, l1=10, l2=100, trials=4):
+def time_iterated(step_fn, carry, l1=10, l2=100, trials=6):
     """Per-iteration device time of ``carry -> carry`` via in-jit lax.scan.
 
     The axon tunnel acks before device completion (block_until_ready does

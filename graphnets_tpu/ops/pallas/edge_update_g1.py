@@ -60,13 +60,26 @@ def _interpret() -> bool:
     return get_config().pallas_interpret
 
 
+def _tiles(num_edges: int, num_nodes: int):
+    """Tile choice swept on v5e (1M edges, D=256): big TE amortizes the
+    per-tile window-DMA latency (the kernel is latency-bound on small
+    chunks at TE=512: 6.15 ms vs 4.99 ms at TE=2048), and TN=128 beats
+    bigger chunks (less table re-read per tile).  TE capped at 2048 —
+    4096 exceeds the 16M scoped-vmem limit at D=256."""
+    te = (_pick(num_edges, (2048, 1024, 512, 256, 128))
+          if num_edges > 262144 else _pick(num_edges, (512, 256, 128)))
+    if te is None:
+        return None, None
+    tn = min(_pick_tn(num_nodes, num_edges, te), 128)
+    return te, tn
+
+
 def supports_g1_edge_update(num_edges: int, num_nodes: int, de: int,
                             dout: int, itemsize: int = 2) -> bool:
-    te = _pick(num_edges, (512, 256, 128))
+    te, tn = _tiles(num_edges, num_nodes)
     if (te is None or de % 128 != 0 or dout % 128 != 0
             or num_nodes % 32 != 0 or num_nodes < 32):
         return False
-    tn = _pick_tn(num_nodes, num_edges, te)
     vmem = (te * de * itemsize          # ef tile
             + te * dout * itemsize      # src tile
             + 2 * tn * dout * itemsize  # double-buffered tr chunks
@@ -168,8 +181,7 @@ def _kernel(starts_ref, ends_ref,       # scalar prefetch: tr window bounds
 def _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
     E, de = ef.shape
     N, dout = tr.shape
-    TE = _pick(E, (512, 256, 128))
-    TN = _pick_tn(N, E, TE)
+    TE, TN = _tiles(E, N)
     grid = E // TE
 
     rl = rl.astype(jnp.int32)
