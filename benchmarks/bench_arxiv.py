@@ -131,17 +131,19 @@ def main():
     b0 = batches[0]
     graph0 = cast_g(b0.graph)
 
+    # feat_dev rides in the CARRY (a jit input): as a closure constant it
+    # would be baked into the serialized HLO and blow the tunnel's upload
+    # limit at products scale (~0.5 GB table -> HTTP 413).
     def carry_step(carry):
-        params, opt_state = carry
-        params, opt_state, _ = _step_core(params, opt_state)
-        return (params, opt_state)
-
-    def _step_core(params, opt_state):
-        return step(params, opt_state, graph0, b0.node_ids, b0.labels,
-                    b0.label_mask, b0.seed_local_idx, feat_dev)
+        params, opt_state, feat = carry
+        params, opt_state, _ = step(params, opt_state, graph0, b0.node_ids,
+                                    b0.labels, b0.label_mask,
+                                    b0.seed_local_idx, feat)
+        return (params, opt_state, feat)
 
     from bench import time_iterated
-    t_step = time_iterated(carry_step, (params, opt_state), l1=3, l2=24)
+    t_step = time_iterated(carry_step, (params, opt_state, feat_dev),
+                           l1=3, l2=24)
     print(f"# device train step: {t_step*1e3:.2f} ms", file=sys.stderr)
 
     # -- e2e over DISTINCT preloaded batches (honest harness) --------------
@@ -165,18 +167,18 @@ def main():
            b.seed_local_idx) for b in batches])
 
     def cycle_step(carry):
-        params, opt_state, i, stk = carry
+        params, opt_state, i, stk, feat = carry
         xs = jtu.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, i % K, 0,
                                                    keepdims=False), stk)
         gr, nid, lab, lm, si = xs
         params, opt_state, _ = step(params, opt_state, gr, nid, lab, lm,
-                                    si, feat_dev)
-        return (params, opt_state, i + 1, stk)
+                                    si, feat)
+        return (params, opt_state, i + 1, stk, feat)
 
     t_cycle = time_iterated(cycle_step,
                             (params, opt_state, jnp.zeros((), jnp.int32),
-                             stacked),
+                             stacked, feat_dev),
                             l1=3, l2=18)
     t_e2e = max(t_sample, t_cycle)
     print(f"# device step (cycling {K} distinct batches): "
