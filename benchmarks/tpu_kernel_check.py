@@ -278,6 +278,45 @@ def main():
         record(f"fused_edge_update/bwd_{name}", a.astype(jnp.float32),
                b.astype(jnp.float32), o)
 
+    # -- fused G=1 edge update with in-kernel segment sum -------------------
+    from graphnets_tpu.ops.pallas.edge_update_g1 import (
+        fused_g1_edge_update_agg, _reference2, supports_g1_edge_update)
+    Eg, Ng, dg = 8192, 512, 256
+    rlg_np = np.sort(rng.integers(0, Ng, size=Eg)).astype(np.int32)
+    rlg = jnp.asarray(rlg_np)
+    efg = jnp.asarray(rng.normal(size=(Eg, dg)).astype(np.float32),
+                      jnp.bfloat16)
+    srcg = jnp.asarray(rng.normal(size=(Eg, dg)).astype(np.float32),
+                       jnp.bfloat16)
+    trg = jnp.asarray(rng.normal(size=(Ng, dg)).astype(np.float32),
+                      jnp.bfloat16)
+    w0g = jnp.asarray((rng.normal(size=(dg, dg)) * 0.05).astype(np.float32),
+                      jnp.bfloat16)
+    gbg = jnp.asarray(rng.normal(size=(dg,)).astype(np.float32))
+    sg_ = jnp.asarray(rng.normal(size=(dg,)).astype(np.float32))
+    bg_ = jnp.asarray(rng.normal(size=(dg,)).astype(np.float32))
+    assert supports_g1_edge_update(Eg, Ng, dg, dg, 2, with_agg=True)
+    ln_g = {"scale": sg_, "bias": bg_}
+    h_g, agg_g = jax.jit(lambda *a: fused_g1_edge_update_agg(
+        *a, rlg, gbg))(efg, ln_g, w0g, srcg, trg)
+    h_r, agg_r = _reference2(efg, sg_, bg_, w0g, srcg, trg, rlg, gbg, True)
+
+    def m_g1_agg(ef, s, b, w, src, tr, gb):
+        h = m_ln(ef, s, b) @ w + src + jnp.take(
+            tr, jnp.asarray(rlg_np), axis=0) + gb
+        seg = jax.ops.segment_sum(h, jnp.asarray(rlg_np),
+                                  num_segments=Ng,
+                                  indices_are_sorted=True)
+        return h, seg
+
+    orc_h, orc_agg = oracle(m_g1_agg, efg.astype(jnp.float32), sg_, bg_,
+                            w0g.astype(jnp.float32),
+                            srcg.astype(jnp.float32),
+                            trg.astype(jnp.float32), gbg)
+    record("fused_g1_agg/fwd_h", h_g.astype(jnp.float32),
+           h_r.astype(jnp.float32), orc_h)
+    record("fused_g1_agg/fwd_agg", agg_g, agg_r, orc_agg)
+
     import json
     print(json.dumps({"tpu_kernel_check": results}))
     bad = {k: v for k, v in results.items() if not v["pass"]}

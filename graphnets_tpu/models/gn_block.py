@@ -300,10 +300,15 @@ class GNBlock(Module):
             # once at N/G rows, the results gathered to E edge slots — the
             # same per-row dots as the concat formulation (see
             # ``_linear_split``), at ~1/(1 + 2N/E) of the edge-update FLOPs.
-            h_ef = self._edge_update_split(params, g, ef, nf, gf, ef_ln,
-                                           dtype)
-            agg = scatter.aggregate_edges_for_nodes(
-                h_ef, g.receivers, N, g.edge_mask)
+            h_ef, agg = self._edge_update_split(params, g, ef, nf, gf,
+                                                ef_ln, dtype)
+            if agg is None:
+                agg = scatter.aggregate_edges_for_nodes(
+                    h_ef, g.receivers, N, g.edge_mask)
+            else:
+                # The G=1 kernel emits the f32 segment sum in the same
+                # pass; cast at segment_sum's rounding point.
+                agg = agg.astype(dtype)
             h_nf = _linear_split(
                 params["nodefn"], dtype,
                 [(agg, None), (nf, None),
@@ -350,7 +355,7 @@ class GNBlock(Module):
                 w0 = jax.lax.slice_in_dim(w, 0, de, axis=0)
                 return fused_edge_update(
                     ef, ef_ln, w0, ts, tr, tg, b, g.senders, g.receivers,
-                    n_slots, e_slots).astype(dtype)
+                    n_slots, e_slots).astype(dtype), None
         if use_pallas() and G == 1 and de > 0 and dn > 0:
             # Single-graph (large-graph) fused path: receivers are
             # globally ascending in canonical order, so the receiver
@@ -383,8 +388,20 @@ class GNBlock(Module):
                 if b is not None:
                     gb = gb + b.astype(jnp.float32)
                 w0 = jax.lax.slice_in_dim(w, 0, de, axis=0)
-                return fused_g1_edge_update(ef, ef_ln, w0, src, tr,
-                                            g.receivers, gb).astype(dtype)
+                if supports_g1_edge_update(E, N, de, de_o, itemsize,
+                                           with_agg=True):
+                    # Same kernel pass also emits the edge->node segment
+                    # sum (pad-safe sorted contract, identical to
+                    # aggregate_edges_for_nodes on the rounded output) —
+                    # the separate [E, dout] re-read disappears.
+                    from ..ops.pallas.edge_update_g1 import \
+                        fused_g1_edge_update_agg
+                    h, agg = fused_g1_edge_update_agg(
+                        ef, ef_ln, w0, src, tr, g.receivers, gb)
+                    return h.astype(dtype), agg
+                return fused_g1_edge_update(
+                    ef, ef_ln, w0, src, tr,
+                    g.receivers, gb).astype(dtype), None
         # senders are unsorted WITHIN each graph but graph-local: with
         # many small graphs the backward scatter can use per-graph edge
         # windows (windowed one-hot kernel) instead of an argsort.
@@ -399,4 +416,4 @@ class GNBlock(Module):
             params["edgefn"], dtype,
             [ef_term, (nf, g.senders, None, False, windows),
              (nf, g.receivers, None, True),
-             (gf, g.edge_graph, None, True)], rows=E)
+             (gf, g.edge_graph, None, True)], rows=E), None

@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gather import _pick, _pick_tn
 
-__all__ = ["fused_g1_edge_update", "supports_g1_edge_update"]
+__all__ = ["fused_g1_edge_update", "fused_g1_edge_update_agg",
+           "supports_g1_edge_update"]
 
 _VMEM_BUDGET = 12 << 20
 
@@ -75,10 +76,16 @@ def _tiles(num_edges: int, num_nodes: int):
 
 
 def supports_g1_edge_update(num_edges: int, num_nodes: int, de: int,
-                            dout: int, itemsize: int = 2) -> bool:
+                            dout: int, itemsize: int = 2,
+                            with_agg: bool = False) -> bool:
     te, tn = _tiles(num_edges, num_nodes)
     if (te is None or de % 128 != 0 or dout % 128 != 0
             or num_nodes % 32 != 0 or num_nodes < 32):
+        return False
+    if with_agg and num_nodes % tn != 0:
+        # The RMW loop writes whole TN chunks; a clamped final chunk would
+        # overlap the previous one and double-count (the gather loop's
+        # read-only clamp is harmless, the read-modify-write is not).
         return False
     vmem = (te * de * itemsize          # ef tile
             + te * dout * itemsize      # src tile
@@ -87,6 +94,8 @@ def supports_g1_edge_update(num_edges: int, num_nodes: int, de: int,
             + te * dout * itemsize      # out tile
             + de * dout * itemsize      # W0
             + 2 * de * 4 + dout * 4)    # scale/bias/gb rows
+    if with_agg:
+        vmem += 2 * tn * dout * 4       # double-buffered agg RMW chunks
     return vmem <= _VMEM_BUDGET
 
 
@@ -107,9 +116,15 @@ def _kernel(starts_ref, ends_ref,       # scalar prefetch: tr window bounds
             s_ref, b_ref,               # [1, de] f32 LN scale/bias
             w_ref,                      # [de, dout] W0
             gb_ref,                     # [1, dout] f32 graph term + bias
-            out_ref,                    # [TE, dout]
-            tab_buf, acc_ref, sems,
-            *, TE: int, TN: int, D: int, N: int, has_ln: bool):
+            *rest,                      # [agg_in,] out [, agg_out] + scratch
+            TE: int, TN: int, D: int, N: int, has_ln: bool,
+            with_agg: bool = False):
+    if with_agg:
+        (_agg_in, out_ref, agg_hbm, tab_buf, acc_ref, sems,
+         agg_buf, rsems, wsems) = rest
+    else:
+        out_ref, tab_buf, acc_ref, sems = rest
+        agg_hbm = agg_buf = rsems = wsems = None
     i = pl.program_id(0)
     start_al = starts_ref[i]
     end = ends_ref[i]
@@ -119,6 +134,23 @@ def _kernel(starts_ref, ends_ref,       # scalar prefetch: tr window bounds
 
     nchunks = pl.cdiv(end - start_al, TN)
     idx_row = idx_ref[:]
+
+    if with_agg:
+        # Prefetch the first agg RMW chunks NOW so their read latency
+        # hides under the gather loop + ef matmul (the previous tile
+        # drained its writes, so reads at tile start are ordered).
+        def _agg_rd(k, slot):
+            off = pl.multiple_of(
+                jnp.minimum(start_al + k * TN, N - TN), TN)
+            return pltpu.make_async_copy(
+                agg_hbm.at[pl.ds(off, TN), :],
+                agg_buf.at[slot], rsems.at[slot])
+
+        _agg_rd(0, 0).start()
+
+        @pl.when(nchunks >= 2)
+        def _():
+            _agg_rd(1, 1).start()
 
     def off_of(k):
         return pl.multiple_of(jnp.minimum(start_al + k * TN, N - TN), TN)
@@ -175,10 +207,71 @@ def _kernel(starts_ref, ends_ref,       # scalar prefetch: tr window bounds
         xn, w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[:] = acc.astype(out_ref.dtype)
+    h = acc.astype(out_ref.dtype)
+    out_ref[:] = h
+
+    if with_agg:
+        # Fused edge->node aggregation: RMW the [N, D] f32 agg buffer over
+        # the SAME receiver windows (rl sorted -> contiguous, TN-aligned
+        # chunks; N % TN == 0 so the clamp never engages and chunks are
+        # disjoint).  Contributions use the ROUNDED h — identical numerics
+        # to segment_sum(h_ef) on the kernel's output.  Sequential grid +
+        # draining the write DMAs before tile end makes the cross-tile
+        # boundary-chunk RMW race-free.
+        idx_row2 = idx_ref[:]
+
+        def agg_rd(k, slot):
+            return pltpu.make_async_copy(
+                agg_hbm.at[pl.ds(off_of(k), TN), :], agg_buf.at[slot],
+                rsems.at[slot])
+
+        def agg_wr(k, slot):
+            return pltpu.make_async_copy(
+                agg_buf.at[slot], agg_hbm.at[pl.ds(off_of(k), TN), :],
+                wsems.at[slot])
+
+        def agg_body(k, carry):
+            slot = jax.lax.rem(k, 2)
+            agg_rd(k, slot).wait()
+            rows = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) \
+                + off_of(k)
+            onehot = jnp.where(rows == idx_row2, 1.0,
+                               0.0).astype(h.dtype)        # [TN, TE]
+            # f32 h must not round to bf16 through the MXU (same rule as
+            # the gather loop above); bf16 rows pass through exactly.
+            prec2 = (jax.lax.Precision.HIGHEST
+                     if h.dtype == jnp.float32 else None)
+            contrib = jax.lax.dot_general(
+                onehot, h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec2,
+                preferred_element_type=jnp.float32)
+            agg_buf[slot] = agg_buf[slot] + contrib
+            agg_wr(k, slot).start()
+
+            @pl.when(k + 2 < nchunks)
+            def _():
+                # this chunk's write must land before its slot refills
+                agg_wr(k, slot).wait()
+                agg_rd(k + 2, slot).start()
+            return carry
+
+        jax.lax.fori_loop(0, nchunks, agg_body, 0)
+
+        # Drain the last (up to two) un-waited writes: the next tile's
+        # first chunk may be THIS tile's boundary chunk — its read must
+        # observe the completed write.  Every started DMA is waited
+        # exactly once (mid-loop waits cover writes 0..nchunks-3).
+        @pl.when(nchunks >= 2)
+        def _():
+            k = nchunks - 2
+            agg_wr(k, jax.lax.rem(k, 2)).wait()
+        k = nchunks - 1
+        agg_wr(k, jax.lax.rem(k, 2)).wait()
 
 
-def _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
+def _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln,
+             with_agg=False):
     E, de = ef.shape
     N, dout = tr.shape
     TE, TN = _tiles(E, N)
@@ -191,41 +284,70 @@ def _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
 
     row = lambda i, *_: (i, 0)
     full = lambda i, *_: (0, 0)
+    # Donate the sender-term stream into the output when dtypes line up
+    # (arg index 5 counts the two scalar-prefetch operands): the [E, dout]
+    # src buffer is dead after this kernel (never a residual — see
+    # _op_fwd), and writing h_ef back into the just-read region runs ~2x
+    # faster than a fresh-buffer write on v5e (RESULTS.md "HBM aliasing").
+    alias = {5: 0} if src.dtype == ef.dtype else {}
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),              # tr table
+        pl.BlockSpec((1, TE), lambda i, *_: (0, i)),    # rl tile
+        pl.BlockSpec((TE, de), row),                    # ef
+        pl.BlockSpec((TE, dout), row),                  # src
+        pl.BlockSpec((1, de), full),                    # scale
+        pl.BlockSpec((1, de), full),                    # bias
+        pl.BlockSpec((de, dout), full),                 # W0
+        pl.BlockSpec((1, dout), full),                  # gb
+    ]
+    args = [starts, ends, tr, rl.reshape(1, E), ef, src,
+            scale[None, :].astype(jnp.float32),
+            bias[None, :].astype(jnp.float32),
+            w0.astype(ef.dtype), gb[None, :].astype(jnp.float32)]
+    out_specs = pl.BlockSpec((TE, dout), row, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((E, dout), ef.dtype)
+    scratch = [
+        pltpu.VMEM((2, TN, dout), tr.dtype),
+        pltpu.VMEM((TE, dout), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_agg:
+        # The fused edge->node aggregation RMWs a zero-initialized f32
+        # [N, dout] buffer: the zeros array is passed as an input and
+        # aliased onto the agg output, so the kernel sees it initialized.
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # agg init
+        args.append(jnp.zeros((N, dout), jnp.float32))
+        alias = dict(alias)
+        alias[10] = 1
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((N, dout), jnp.float32)]
+        scratch += [
+            pltpu.VMEM((2, TN, dout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     return pl.pallas_call(
         functools.partial(_kernel, TE=TE, TN=TN, D=dout, N=N,
-                          has_ln=has_ln),
+                          has_ln=has_ln, with_agg=with_agg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),              # tr table
-                pl.BlockSpec((1, TE), lambda i, *_: (0, i)),    # rl tile
-                pl.BlockSpec((TE, de), row),                    # ef
-                pl.BlockSpec((TE, dout), row),                  # src
-                pl.BlockSpec((1, de), full),                    # scale
-                pl.BlockSpec((1, de), full),                    # bias
-                pl.BlockSpec((de, dout), full),                 # W0
-                pl.BlockSpec((1, dout), full),                  # gb
-            ],
-            out_specs=pl.BlockSpec((TE, dout), row,
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, TN, dout), tr.dtype),
-                pltpu.VMEM((TE, dout), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((E, dout), ef.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * E * de * dout + 2 * E * TN * dout,
+            flops=2 * E * de * dout + 2 * E * TN * dout * (2 if with_agg
+                                                           else 1),
             bytes_accessed=(E * (de + 2 * dout) + N * dout)
-            * ef.dtype.itemsize,
+            * ef.dtype.itemsize + (8 * N * dout if with_agg else 0),
             transcendentals=E,
         ),
         interpret=_interpret(),
-    )(starts, ends, tr, rl.reshape(1, E), ef, src,
-      scale[None, :].astype(jnp.float32), bias[None, :].astype(jnp.float32),
-      w0.astype(ef.dtype), gb[None, :].astype(jnp.float32))
+        input_output_aliases=alias,
+    )(*args)
 
 
 def _reference(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
@@ -261,6 +383,10 @@ def _op_fwd(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
 
 
 def _op_bwd(has_ln, res, g):
+    return _bwd_core(has_ln, res, g)
+
+
+def _bwd_core(has_ln, res, g):
     ef, scale, bias, w0, rl, n_nodes, sdt, tdt, gdt = res
     from .segment_sum import sorted_segment_sum
     d_src = g.astype(sdt.dtype)
@@ -296,6 +422,68 @@ def _op_bwd(has_ln, res, g):
 _op.defvjp(_op_fwd, _op_bwd)
 
 
+def _reference2(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
+    """Composed reference for the agg-fused variant: the edge update
+    followed by the sorted f32 segment sum of the ROUNDED h."""
+    h = _reference(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
+    agg = jax.ops.segment_sum(
+        h.astype(jnp.float32), rl.astype(jnp.int32),
+        num_segments=tr.shape[0], indices_are_sorted=True)
+    return h, agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _op2(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
+    if not supports_g1_edge_update(ef.shape[0], tr.shape[0], ef.shape[1],
+                                   tr.shape[1], ef.dtype.itemsize,
+                                   with_agg=True):
+        return _reference2(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
+    h, agg = _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln,
+                      with_agg=True)
+    return h, agg
+
+
+def _op2_fwd(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
+    return (_op2(ef, scale, bias, w0, src, tr, rl, gb, has_ln),
+            (ef, scale, bias, w0, rl, tr.shape[0],
+             jnp.zeros((0,), src.dtype), jnp.zeros((0,), tr.dtype),
+             jnp.zeros((0,), gb.dtype)))
+
+
+def _op2_bwd(has_ln, res, grads):
+    g_h, g_agg = grads
+    rl = res[4]
+    from .gather import sorted_gather
+    # agg = segment_sum(h): its pullback is the sorted gather.  Combine
+    # with g_h at the same rounding point the composed path uses (the
+    # cotangent of a bf16 h is bf16 there).
+    gh = (g_h.astype(jnp.float32)
+          + sorted_gather(g_agg, rl).astype(jnp.float32)).astype(g_h.dtype)
+    return _bwd_core(has_ln, res, gh)
+
+
+_op2.defvjp(_op2_fwd, _op2_bwd)
+
+
+def _unpack_ln(ef, ef_ln):
+    if ef_ln is None:
+        de = ef.shape[1]
+        return (jnp.ones((de,), jnp.float32), jnp.zeros((de,), jnp.float32),
+                False)
+    return ef_ln["scale"], ef_ln["bias"], True
+
+
+def fused_g1_edge_update_agg(ef, ef_ln, w0, src, tr, rl, gb):
+    """Like :func:`fused_g1_edge_update`, but ALSO returns the sorted
+    edge->node segment sum of the result (``agg[n] = sum of h_ef over
+    edges with rl == n``, f32 ``[N, dout]``) computed in the same kernel
+    pass — the separate segment-sum re-read of the [E, dout] output
+    disappears.  Numerics match ``segment_sum(h_ef)`` on the rounded
+    output exactly (f32 accumulation, pad-safe sorted contract)."""
+    scale, bias, has_ln = _unpack_ln(ef, ef_ln)
+    return _op2(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
+
+
 def fused_g1_edge_update(ef, ef_ln, w0, src, tr, rl, gb):
     """``LN(ef) @ W0 + src + tr[rl] + gb`` in one kernel pass for a
     single-graph (G=1) canonical batch — rl globally ascending.
@@ -305,11 +493,5 @@ def fused_g1_edge_update(ef, ef_ln, w0, src, tr, rl, gb):
     ``tr [N, dout]``: receiver-side transformed node table.
     ``gb [dout]``: f32 graph-broadcast term + bias (zeros if absent).
     Falls back to the composed ops off-TPU or for unsupported shapes."""
-    if ef_ln is None:
-        de = ef.shape[1]
-        scale = jnp.ones((de,), jnp.float32)
-        bias = jnp.zeros((de,), jnp.float32)
-        has_ln = False
-    else:
-        scale, bias, has_ln = ef_ln["scale"], ef_ln["bias"], True
+    scale, bias, has_ln = _unpack_ln(ef, ef_ln)
     return _op(ef, scale, bias, w0, src, tr, rl, gb, has_ln)

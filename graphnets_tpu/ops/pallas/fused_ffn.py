@@ -146,12 +146,20 @@ def _fused_forward(x, scale, bias, w1, b1, w2, b2, extra=None):
     ]
     args = [x] + ([extra.astype(x.dtype)] if extra is not None else []) + [
         scale[None, :], bias[None, :], w1, b1[None, :], w2, b2[None, :]]
+    # Donate the extra (block-branch) stream into the output: on v5e,
+    # concurrent HBM read+write to DISTINCT buffers runs ~2x slower than
+    # writing back into a just-read region (~325 vs ~650 GB/s measured,
+    # benchmarks/RESULTS.md "HBM aliasing"), and an un-aliased custom-call
+    # output inside lax.scan costs an extra carry copy.  `extra` is never
+    # saved for backward (see _fwd), so the buffer is dead here.
+    alias = {1: 0} if extra is not None else {}
     return pl.pallas_call(
         _fwd_kernel_extra if extra is not None else _fwd_kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, d), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, d), x.dtype),
+        input_output_aliases=alias,
         cost_estimate=pl.CostEstimate(
             flops=4 * T * d * dh,
             bytes_accessed=(3 if extra is not None else 2) * T * d
@@ -265,6 +273,10 @@ def _fused_backward(x, scale, bias, w1, b1, w2, g):
             transcendentals=T,
         ),
         interpret=get_config().pallas_interpret,
+        # The incoming cotangent is dead after this kernel; writing dx back
+        # into its buffer avoids the slow distinct-buffer HBM r+w pattern
+        # (dx and g share [T, d] / x.dtype by construction).
+        input_output_aliases={1: 0},
     )(x, g.astype(x.dtype), scale[None, :], bias[None, :], w1, b1[None, :],
       w2)
     dx, ds, db, dw1, db1, dw2, db2 = outs
@@ -289,15 +301,23 @@ def _op(x, scale, bias, w1, b1, w2, b2, extra):
 
 
 def _fwd(x, scale, bias, w1, b1, w2, b2, extra):
+    # `extra` itself is NOT a residual — only its dtype rides along in a
+    # zero-size carrier (shape (0, 1) marks a real extra, (0, 0) the
+    # sentinel).  Keeping it out of the residuals makes its buffer dead
+    # after the forward kernel, so _fused_forward can donate it into the
+    # output (input_output_aliases) without a defensive copy.
+    e_carrier = jnp.zeros((0, 1) if extra.size else (0, 0), extra.dtype)
     return _run(x, scale, bias, w1, b1, w2, b2, extra), \
-        (x, scale, bias, w1, b1, w2, b2, extra)
+        (x, scale, bias, w1, b1, w2, b2, e_carrier)
 
 
 def _bwd(res, g):
-    x, scale, bias, w1, b1, w2, b2, extra = res
+    x, scale, bias, w1, b1, w2, b2, e_carrier = res
     # d extra = identity passthrough (it enters the sum directly); the
     # zero-size sentinel gets a matching zero-size cotangent.
-    d_extra = g if extra.size else jnp.zeros(extra.shape, extra.dtype)
+    had_extra = e_carrier.shape[1] == 1
+    d_extra = (g.astype(e_carrier.dtype) if had_extra
+               else jnp.zeros((0, 0), e_carrier.dtype))
     if not supports_fused_ffn(x.shape[0], x.shape[1]):
         _, vjp = jax.vjp(
             lambda *a: ln_ffn_residual_reference(*a),

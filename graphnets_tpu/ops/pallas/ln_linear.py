@@ -134,6 +134,12 @@ def _forward(x, scale, bias, w, addend=None):
         scale[None, :].astype(jnp.float32),
         bias[None, :].astype(jnp.float32), w.astype(x.dtype)]
     out_dtype = x.dtype if addend is not None else jnp.float32
+    # Donate the addend stream into the output when dtypes match: it is
+    # dead after this kernel (only a zero-size carrier rides in the
+    # residuals — see _fwd) and in-place HBM writes are ~2x faster on v5e
+    # than fresh-buffer writes (RESULTS.md "HBM aliasing").
+    alias = ({1: 0} if addend is not None
+             and addend.dtype == jnp.dtype(out_dtype) else {})
     return pl.pallas_call(
         _fwd_kernel_addend if addend is not None else _fwd_kernel,
         grid=(T // tile,),
@@ -149,6 +155,7 @@ def _forward(x, scale, bias, w, addend=None):
             transcendentals=T,
         ),
         interpret=_interpret(),
+        input_output_aliases=alias,
     )(*args)
 
 
@@ -199,6 +206,11 @@ def _backward(x, scale, bias, w, g):
     tile = _pick_tile(T, d, dout, x.dtype.itemsize)
     row = lambda i: (i, 0)
     full = lambda i: (0, 0)
+    # Donate the (dead) incoming cotangent into dx when shapes line up —
+    # in-place HBM r+w is ~2x faster than fresh-buffer writes on v5e
+    # (RESULTS.md "HBM aliasing").  g is cast to x.dtype below, so dtypes
+    # always match; shapes match iff the matmul is square.
+    alias = {1: 0} if d == dout else {}
     dx, dw, ds, db = pl.pallas_call(
         _bwd_kernel,
         grid=(T // tile,),
@@ -228,6 +240,7 @@ def _backward(x, scale, bias, w, g):
             transcendentals=T,
         ),
         interpret=_interpret(),
+        input_output_aliases=alias,
     )(x, g.astype(x.dtype), scale[None, :].astype(jnp.float32),
       bias[None, :].astype(jnp.float32), w.astype(x.dtype))
     return dx, ds[0], db[0], dw
@@ -247,15 +260,20 @@ def _op(x, scale, bias, w, addend):
 
 
 def _fwd(x, scale, bias, w, addend):
-    return _run(x, scale, bias, w, addend), (x, scale, bias, w, addend)
+    # Only a zero-size dtype carrier of the addend rides in the residuals
+    # (shape (0, 1) marks a real addend, (0, 0) the sentinel): keeping the
+    # [T, dout] addend itself out makes its buffer dead after the forward
+    # kernel, so _forward can donate it into the output.
+    a_carrier = jnp.zeros((0, 1) if addend.size else (0, 0), addend.dtype)
+    return _run(x, scale, bias, w, addend), (x, scale, bias, w, a_carrier)
 
 
 def _bwd(res, g):
-    x, scale, bias, w, addend = res
+    x, scale, bias, w, a_carrier = res
     # d addend = identity (it enters the sum directly; for the completed-
     # row variant the upstream cotangent g is in x.dtype — upcast).
-    d_addend = (g.astype(addend.dtype) if addend.size
-                else jnp.zeros(addend.shape, addend.dtype))
+    d_addend = (g.astype(a_carrier.dtype) if a_carrier.shape[1] == 1
+                else jnp.zeros((0, 0), a_carrier.dtype))
     if not supports_ln_matmul(x.shape[0], x.shape[1], w.shape[1]):
         _, vjp = jax.vjp(
             lambda x_, s_, b_, w_: ln_matmul_reference(x_, s_, b_, w_),

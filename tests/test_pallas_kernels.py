@@ -718,3 +718,67 @@ def test_gnblock_g1_fused_path_matches_pure(interpret_mode):
                  (out_fused.gf, out_pure.gf)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_g1_edge_update_agg_matches(interpret_mode, dtype):
+    """Agg-emitting G=1 kernel: h == the plain kernel's output and agg ==
+    the sorted f32 segment sum of the rounded h (same pass, RMW chunks)."""
+    from graphnets_tpu.ops.pallas.edge_update_g1 import (
+        _forward, _reference2, supports_g1_edge_update)
+    E, N, d = 512, 64, 128
+    rng = np.random.default_rng(11)
+    ef = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32), dtype)
+    src = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32), dtype)
+    tr = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32), dtype)
+    w0 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05,
+                     dtype)
+    rl = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    gb = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    assert supports_g1_edge_update(E, N, d, d, 2, with_agg=True)
+
+    h, agg = _forward(ef, scale, bias, w0, src, tr, rl, gb, True,
+                      with_agg=True)
+    h_ref, agg_ref = _reference2(ef, scale, bias, w0, src, tr, rl, gb,
+                                 True)
+    tol = 2e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(h, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=tol, atol=tol)
+    # agg sums ~8 rounded-h rows in f32: tolerance scales with that sum
+    np.testing.assert_allclose(np.asarray(agg), np.asarray(agg_ref),
+                               rtol=5 * tol, atol=5 * tol)
+
+
+def test_fused_g1_edge_update_agg_gradients(interpret_mode):
+    """custom_vjp of the agg-fused op (both outputs consumed) == autodiff
+    of the composed reference."""
+    from graphnets_tpu.ops.pallas.edge_update_g1 import _op2, _reference2
+    E, N, d = 256, 32, 128
+    rng = np.random.default_rng(12)
+    ef = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    w0 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+    rl = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    gb = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def f_kernel(ef, scale, bias, w0, src, tr, gb):
+        h, agg = _op2(ef, scale, bias, w0, src, tr, rl, gb, True)
+        return jnp.sum(jnp.sin(h)) + jnp.sum(jnp.cos(agg * 0.1))
+
+    def f_ref(ef, scale, bias, w0, src, tr, gb):
+        h, agg = _reference2(ef, scale, bias, w0, src, tr, rl, gb, True)
+        return jnp.sum(jnp.sin(h)) + jnp.sum(jnp.cos(agg * 0.1))
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        ef, scale, bias, w0, src, tr, gb)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        ef, scale, bias, w0, src, tr, gb)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
