@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_edge_update", "fused_edge_update_reference",
-           "supports_fused_edge_update"]
+__all__ = ["fused_edge_update", "fused_edge_update_agg",
+           "fused_edge_update_reference", "supports_fused_edge_update"]
 
 _VMEM_BUDGET = 12 << 20
 
@@ -93,7 +93,7 @@ def _pick_k(G: int, n_slots: int, e_slots: int) -> Optional[int]:
 
 
 def supports_fused_edge_update(E, N, G, de, dout, n_slots, e_slots,
-                               dtype) -> bool:
+                               dtype, with_agg: bool = False) -> bool:
     if dtype != jnp.bfloat16:
         return False
     if G < 2 or N != G * n_slots or E != G * e_slots:
@@ -106,6 +106,8 @@ def supports_fused_edge_update(E, N, G, de, dout, n_slots, e_slots,
     te, nw = k * e_slots, k * n_slots
     vmem = (te * (de + dout) * 2 + de * dout * 2 + 4 * nw * dout * 2
             + te * dout * 4 + te * de * 4 + 2 * nw * te * 2)
+    if with_agg:
+        vmem += 2 * nw * dout * 4       # double-buffered f32 agg out tile
     return vmem <= _VMEM_BUDGET
 
 
@@ -119,7 +121,7 @@ def _ln_f32(xf, scale, bias):
 
 def _kernel(ef_ref, s_ref, r_ref, sc_ref, bl_ref, w_ref,
             tsh_ref, tsl_ref, trh_ref, trl_ref, tgh_ref, tgl_ref, b_ref,
-            o_ref, *, TE, NW, K, e_slots, use_ln):
+            o_ref, *maybe_agg, TE, NW, K, e_slots, use_ln, with_agg=False):
     i = pl.program_id(0)
     x = ef_ref[:]
     if use_ln:
@@ -133,11 +135,13 @@ def _kernel(ef_ref, s_ref, r_ref, sc_ref, bl_ref, w_ref,
 
     base = i * NW
 
-    def gather(idx_row, hi_ref, lo_ref):
+    def onehot_of(idx_row):
         # one-hot transposed [NW, TE]: row n matches edges whose index is
         # window-local n; contract over NW -> [TE, D'] gather on the MXU.
         rows = jax.lax.broadcasted_iota(jnp.int32, (NW, 1), 0) + base
-        onehot_t = jnp.where(rows == idx_row, 1.0, 0.0).astype(jnp.bfloat16)
+        return jnp.where(rows == idx_row, 1.0, 0.0).astype(jnp.bfloat16)
+
+    def gather(onehot_t, hi_ref, lo_ref):
         out = jax.lax.dot_general(
             onehot_t, hi_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -148,8 +152,9 @@ def _kernel(ef_ref, s_ref, r_ref, sc_ref, bl_ref, w_ref,
             preferred_element_type=jnp.float32)
         return out
 
-    acc += gather(s_ref[:], tsh_ref, tsl_ref)
-    acc += gather(r_ref[:], trh_ref, trl_ref)
+    acc += gather(onehot_of(s_ref[:]), tsh_ref, tsl_ref)
+    onehot_r = onehot_of(r_ref[:])
+    acc += gather(onehot_r, trh_ref, trl_ref)
 
     # per-graph term: edge e of this tile belongs to GLOBAL graph
     # i*K + e//e_slots; tg is loaded whole (it is tiny), so the one-hot
@@ -166,11 +171,23 @@ def _kernel(ef_ref, s_ref, r_ref, sc_ref, bl_ref, w_ref,
         preferred_element_type=jnp.float32)
 
     acc += b_ref[:]
-    o_ref[:] = acc.astype(o_ref.dtype)
+    h = acc.astype(o_ref.dtype)
+    o_ref[:] = h
+    if with_agg:
+        # Fused edge->node aggregation: a node's incoming edges live in its
+        # own graph's edge slots, i.e. entirely inside THIS tile, so the
+        # tile's agg block is complete and disjoint — reuse the receiver
+        # one-hot transposed: agg[NW, D'] = onehot_r @ h (f32 accumulate of
+        # the ROUNDED h, identical numerics to segment_sum on the output;
+        # padded edges target padding node rows by the layout contract).
+        (agg_ref,) = maybe_agg
+        agg_ref[:] = jax.lax.dot_general(
+            onehot_r, h, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _forward(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers,
-             n_slots, e_slots, use_ln):
+             n_slots, e_slots, use_ln, with_agg=False):
     E, de = ef.shape
     dout = w0.shape[1]
     N = ts.shape[0]
@@ -184,9 +201,17 @@ def _forward(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers,
     row_e = lambda i: (i, 0)
     full = lambda i: (0, 0)
     idx = lambda i: (0, i)
+    out_specs = pl.BlockSpec((TE, dout), row_e, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((E, dout), ef.dtype)
+    if with_agg:
+        out_specs = [out_specs,
+                     pl.BlockSpec((NW, dout), row_e,
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((N, dout), jnp.float32)]
     return pl.pallas_call(
         functools.partial(_kernel, TE=TE, NW=NW, K=k, e_slots=e_slots,
-                          use_ln=use_ln),
+                          use_ln=use_ln, with_agg=with_agg),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((TE, de), row_e, memory_space=pltpu.VMEM),
@@ -203,12 +228,13 @@ def _forward(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers,
             pl.BlockSpec((G, dout), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dout), full, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TE, dout), row_e, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, dout), ef.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * E * de * dout + 8 * E * NW * dout,
+            flops=2 * E * de * dout + (10 if with_agg else 8) * E * NW
+            * dout,
             bytes_accessed=E * (de + dout) * 2 + 4 * N * dout * 2
-            + de * dout * 2,
+            + de * dout * 2 + (4 * N * dout if with_agg else 0),
             transcendentals=E if use_ln else 0,
         ),
         interpret=_interpret(),
@@ -220,12 +246,14 @@ def _forward(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(n_slots: int, e_slots: int, use_ln: bool):
+def _make_op(n_slots: int, e_slots: int, use_ln: bool,
+             with_agg: bool = False):
 
     @jax.custom_vjp
     def op(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers):
         return _forward(ef, scale, bias, w0, ts, tr, tg, b,
-                        senders, receivers, n_slots, e_slots, use_ln)
+                        senders, receivers, n_slots, e_slots, use_ln,
+                        with_agg)
 
     def fwd(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers):
         out = op(ef, scale, bias, w0, ts, tr, tg, b, senders, receivers)
@@ -233,6 +261,18 @@ def _make_op(n_slots: int, e_slots: int, use_ln: bool):
 
     def bwd(res, g):
         ef, scale, bias, w0, G, senders, receivers = res
+        if with_agg:
+            # agg = segment_sum(h): pullback is the sorted gather; combine
+            # at the composed path's rounding point (bf16 cotangents —
+            # g_agg flows back through the caller's f32->dtype cast, so
+            # gathering in h's dtype adds no rounding for the model path
+            # and halves the stream).
+            g, g_agg = g
+            from .gather import sorted_gather
+            g = (g.astype(jnp.float32)
+                 + sorted_gather(g_agg.astype(g.dtype),
+                                 receivers.astype(jnp.int32))
+                 .astype(jnp.float32)).astype(g.dtype)
         E, de = ef.shape
         N = n_slots * G
         if use_ln:
@@ -282,4 +322,24 @@ def fused_edge_update(ef, ln_params, w0, ts, tr, tg, b, senders, receivers,
     if b is None:
         b = jnp.zeros((ts.shape[1],), jnp.float32)
     return _make_op(n_slots, e_slots, use_ln)(
+        ef, scale, bias, w0, ts, tr, tg, b, senders, receivers)
+
+
+def fused_edge_update_agg(ef, ln_params, w0, ts, tr, tg, b, senders,
+                          receivers, n_slots: int, e_slots: int):
+    """Like :func:`fused_edge_update`, but ALSO returns the edge->node
+    segment sum of the result as f32 ``[N, D']`` computed in the same
+    kernel pass (a node's incoming edges live entirely in its own tile,
+    so each tile writes a complete disjoint agg block — the separate
+    [E, D'] re-read disappears).  Numerics == ``segment_sum`` over the
+    rounded output under the uniform layout's pad-safe contract.  Callers
+    gate with ``supports_fused_edge_update(..., with_agg=True)``."""
+    use_ln = ln_params is not None
+    scale = ln_params["scale"] if use_ln else jnp.ones((ef.shape[1],),
+                                                       jnp.float32)
+    bias = ln_params["bias"] if use_ln else jnp.zeros((ef.shape[1],),
+                                                      jnp.float32)
+    if b is None:
+        b = jnp.zeros((ts.shape[1],), jnp.float32)
+    return _make_op(n_slots, e_slots, use_ln, with_agg=True)(
         ef, scale, bias, w0, ts, tr, tg, b, senders, receivers)

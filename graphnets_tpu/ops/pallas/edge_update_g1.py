@@ -456,9 +456,13 @@ def _op2_bwd(has_ln, res, grads):
     from .gather import sorted_gather
     # agg = segment_sum(h): its pullback is the sorted gather.  Combine
     # with g_h at the same rounding point the composed path uses (the
-    # cotangent of a bf16 h is bf16 there).
+    # cotangent of a bf16 h is bf16 there).  g_agg flows back through the
+    # caller's f32->dtype cast, so its values are already h-dtype
+    # representable — gathering in that dtype halves the [E, dout] stream
+    # with no extra rounding for the model path.
     gh = (g_h.astype(jnp.float32)
-          + sorted_gather(g_agg, rl).astype(jnp.float32)).astype(g_h.dtype)
+          + sorted_gather(g_agg.astype(g_h.dtype), rl)
+          .astype(jnp.float32)).astype(g_h.dtype)
     return _bwd_core(has_ln, res, gh)
 
 

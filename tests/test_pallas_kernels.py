@@ -782,3 +782,93 @@ def test_fused_g1_edge_update_agg_gradients(interpret_mode):
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_edge_update_agg_matches(interpret_mode):
+    """G>=2 agg-emitting SDDMM kernel: h matches the reference and agg ==
+    sorted segment sum of the rounded h (per-tile disjoint blocks)."""
+    from graphnets_tpu.ops.pallas.edge_update import (
+        fused_edge_update_agg, fused_edge_update_reference,
+        supports_fused_edge_update)
+    G, ns, es, d = 4, 64, 512, 128
+    N, E = G * ns, G * es
+    rng = np.random.default_rng(13)
+    senders = np.concatenate([
+        rng.integers(b * ns, b * ns + ns, size=es) for b in range(G)
+    ]).astype(np.int32)
+    receivers = np.concatenate([
+        np.sort(rng.integers(b * ns, b * ns + ns, size=es))
+        for b in range(G)
+    ]).astype(np.int32)
+    ef = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32),
+                     jnp.bfloat16)
+    ts = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    tg = jnp.asarray(rng.normal(size=(G, d)).astype(np.float32))
+    w0 = jnp.asarray((rng.normal(size=(d, d)) * 0.05).astype(np.float32),
+                     jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    ln_p = {"scale": jnp.asarray(rng.normal(size=(d,)).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=(d,)).astype(np.float32))}
+    assert supports_fused_edge_update(E, N, G, d, d, ns, es, jnp.bfloat16,
+                                      with_agg=True)
+    h, agg = fused_edge_update_agg(ef, ln_p, w0, ts, tr, tg, b,
+                                   jnp.asarray(senders),
+                                   jnp.asarray(receivers), ns, es)
+    h_ref = fused_edge_update_reference(ef, ln_p, w0, ts, tr, tg, b,
+                                        jnp.asarray(senders),
+                                        jnp.asarray(receivers), es)
+    np.testing.assert_allclose(np.asarray(h, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    agg_ref = np.zeros((N, d), np.float32)
+    np.add.at(agg_ref, receivers, np.asarray(h, np.float32))
+    np.testing.assert_allclose(np.asarray(agg), agg_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_edge_update_agg_gradients(interpret_mode):
+    """custom_vjp of the G>=2 agg variant (both outputs consumed) == the
+    no-agg op + explicit segment sum."""
+    from graphnets_tpu.ops.pallas.edge_update import (fused_edge_update,
+                                                      fused_edge_update_agg)
+    G, ns, es, d = 2, 32, 256, 128
+    N, E = G * ns, G * es
+    rng = np.random.default_rng(14)
+    senders = np.concatenate([
+        rng.integers(b * ns, b * ns + ns, size=es) for b in range(G)
+    ]).astype(np.int32)
+    receivers = np.concatenate([
+        np.sort(rng.integers(b * ns, b * ns + ns, size=es))
+        for b in range(G)
+    ]).astype(np.int32)
+    s_j, r_j = jnp.asarray(senders), jnp.asarray(receivers)
+    ef = jnp.asarray(rng.normal(size=(E, d)).astype(np.float32),
+                     jnp.bfloat16)
+    ts = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    tg = jnp.asarray(rng.normal(size=(G, d)).astype(np.float32))
+    w0 = jnp.asarray((rng.normal(size=(d, d)) * 0.05).astype(np.float32),
+                     jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def f_agg(ef, ts, tr, tg):
+        h, agg = fused_edge_update_agg(ef, None, w0, ts, tr, tg, b,
+                                       s_j, r_j, ns, es)
+        return (jnp.sum(jnp.sin(h.astype(jnp.float32)))
+                + jnp.sum(jnp.cos(agg * 0.1)))
+
+    def f_split(ef, ts, tr, tg):
+        h = fused_edge_update(ef, None, w0, ts, tr, tg, b, s_j, r_j,
+                              ns, es)
+        agg = jax.ops.segment_sum(h.astype(jnp.float32), r_j,
+                                  num_segments=N, indices_are_sorted=True)
+        return (jnp.sum(jnp.sin(h.astype(jnp.float32)))
+                + jnp.sum(jnp.cos(agg * 0.1)))
+
+    ga = jax.grad(f_agg, argnums=(0, 1, 2, 3))(ef, ts, tr, tg)
+    gs = jax.grad(f_split, argnums=(0, 1, 2, 3))(ef, ts, tr, tg)
+    for a, b_ in zip(ga, gs):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=2e-2, atol=2e-2)
