@@ -459,50 +459,81 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
                               concat_axis=0, tiled=False)
     table = jnp.concatenate([t_src, halo.reshape(S * H, de_o)], axis=0)
 
-    # -- local terms (independent of the collective: overlap) -----------
-    # Sender gather: ids unsorted, but the backward scatter runs sorted
-    # (argsort once) instead of as an XLA serial scatter.
-    acc = scatter.take_rows_sorted_grad(table, sender_pos) \
-        .astype(jnp.float32)
-    if dg > 0:
-        acc = acc + dot32(gf, w_g)[0]                  # broadcast [DE']
-    if b is not None:
-        acc = acc + b.astype(jnp.float32)
-
-    # Receiver term: rl ascending (canonical shard order) -> the Pallas
-    # sorted-gather with fused addend; pads (rl == Npad) clamp in range,
-    # their rows are garbage-but-masked like the single-device layout.
     t_dst = dot32(nf, w_dst).astype(nf.dtype)
-    rl_g = jnp.minimum(rl, Npad - 1)
-    fused_dst = False
-    if use_pallas():
-        from ..ops.pallas.gather import (sorted_gather_add,
-                                         supports_sorted_gather)
-        if supports_sorted_gather(Epad, Npad, de_o,
-                                  t_dst.dtype.itemsize):
-            acc = sorted_gather_add(t_dst, rl_g, acc)
-            fused_dst = True
-    if not fused_dst:
-        acc = acc + scatter.take_rows_sorted_grad(
-            t_dst, rl_g, idx_sorted=True).astype(jnp.float32)
 
-    # ef term completes the row — LN fused into the matmul when requested.
-    if de > 0 and ef_ln is not None:
-        from ..ops.pallas.ln_linear import ln_matmul
-        h_ef = ln_matmul(ef, ef_ln["scale"], ef_ln["bias"], w_ef,
-                         addend=acc).astype(nf.dtype)
-    elif de > 0:
-        h_ef = (dot32(ef, w_ef) + acc).astype(nf.dtype)
-    else:
-        h_ef = acc.astype(nf.dtype)
+    # Fully-fused path: the single-device G=1 kernel with in-kernel
+    # segment sum (edge_update_g1) — LN(ef) @ W + sender addend + sorted
+    # receiver-window gather + edge->node aggregation in ONE pass.  Pads
+    # (rl == Npad) target appended zero table rows >= Npad whose agg rows
+    # are sliced off: the overflow-segment contract, unchanged.
+    h_ef = agg = None
+    if use_pallas() and de > 0:
+        from ..ops.pallas.edge_update_g1 import (
+            fused_g1_edge_update_agg, supports_g1_edge_update)
+        pad_rows = (32 - Npad % 32) or 32           # >= 1 overflow row
+        N2 = Npad + pad_rows
+        if supports_g1_edge_update(Epad, N2, de, de_o,
+                                   t_dst.dtype.itemsize, with_agg=True):
+            tr2 = jnp.concatenate(
+                [t_dst, jnp.zeros((pad_rows, de_o), t_dst.dtype)], axis=0)
+            gb = jnp.zeros((de_o,), jnp.float32)
+            if dg > 0:
+                gb = gb + dot32(gf, w_g)[0]
+            if b is not None:
+                gb = gb + b.astype(jnp.float32)
+            src_term = scatter.take_rows_sorted_grad(table, sender_pos)
+            h_ef, agg_full = fused_g1_edge_update_agg(
+                ef, ef_ln, w_ef, src_term, tr2, rl, gb)
+            h_ef = h_ef.astype(nf.dtype)
+            agg = agg_full[:Npad].astype(nf.dtype)
 
-    # -- node update: local segment_sum (edges live with receivers) -----
-    # rl is ascending with pads at Npad (the overflow segment, sliced
-    # off), so the mask-free sorted kernel applies — the same contract as
-    # the single-device canonical layout.
-    agg = scatter.segment_sum(h_ef, rl, Npad + 1,
-                              indices_are_sorted=True,
-                              sorted_pad_safe=True)[:Npad]
+    if h_ef is None:
+        # Composed path (small dims / CPU virtual mesh / unsupported
+        # shapes) — same rounding points as the fused kernel.
+        # Sender gather: ids unsorted, but the backward scatter runs
+        # sorted (argsort once) instead of as an XLA serial scatter.
+        acc = scatter.take_rows_sorted_grad(table, sender_pos) \
+            .astype(jnp.float32)
+        if dg > 0:
+            acc = acc + dot32(gf, w_g)[0]              # broadcast [DE']
+        if b is not None:
+            acc = acc + b.astype(jnp.float32)
+
+        # Receiver term: rl ascending (canonical shard order) -> the
+        # Pallas sorted-gather with fused addend; pads (rl == Npad) clamp
+        # in range, their rows are garbage-but-masked like the
+        # single-device layout.
+        rl_g = jnp.minimum(rl, Npad - 1)
+        fused_dst = False
+        if use_pallas():
+            from ..ops.pallas.gather import (sorted_gather_add,
+                                             supports_sorted_gather)
+            if supports_sorted_gather(Epad, Npad, de_o,
+                                      t_dst.dtype.itemsize):
+                acc = sorted_gather_add(t_dst, rl_g, acc)
+                fused_dst = True
+        if not fused_dst:
+            acc = acc + scatter.take_rows_sorted_grad(
+                t_dst, rl_g, idx_sorted=True).astype(jnp.float32)
+
+        # ef term completes the row — LN fused into the matmul when
+        # requested.
+        if de > 0 and ef_ln is not None:
+            from ..ops.pallas.ln_linear import ln_matmul
+            h_ef = ln_matmul(ef, ef_ln["scale"], ef_ln["bias"], w_ef,
+                             addend=acc).astype(nf.dtype)
+        elif de > 0:
+            h_ef = (dot32(ef, w_ef) + acc).astype(nf.dtype)
+        else:
+            h_ef = acc.astype(nf.dtype)
+
+        # -- node update: local segment_sum (edges live with receivers) -
+        # rl is ascending with pads at Npad (the overflow segment, sliced
+        # off), so the mask-free sorted kernel applies — the same
+        # contract as the single-device canonical layout.
+        agg = scatter.segment_sum(h_ef, rl, Npad + 1,
+                                  indices_are_sorted=True,
+                                  sorted_pad_safe=True)[:Npad]
     from ..models.gn_block import _linear_split
     h_nf = _linear_split(params["nodefn"], nf.dtype,
                          [(agg, None), (nf, None), (gf, None)], rows=Npad)
