@@ -587,6 +587,87 @@ def test_partitioned_stack_training_matches_single_device(cpu_devices):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_partitioned_training_kernels_interpret_match(cpu_devices):
+    """Partitioned TRAIN step with the kernel paths engaged (interpreter
+    mode, dims 128 so the agg-fused G=1 edge-update runs inside
+    shard_map, including its custom backward) == the pure single-device
+    train step over 3 steps."""
+    import optax
+
+    from graphnets_tpu.parallel.edge_partition import (build_halo_plan,
+                                                       partition_edges)
+    from graphnets_tpu.parallel.edge_partition_stack import (
+        make_partitioned_train_step)
+    from graphnets_tpu.training.losses import graph_loss_nf_ef
+    from graphnets_tpu.utils.config import enable_pallas
+
+    S = 4
+    STEPS = 3
+    mesh = _mesh(cpu_devices, S, names=("graph",))
+    rng = np.random.default_rng(71)
+    N, deg, vocab = 128, 6, 8
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, vocab)).astype(np.float32)
+    y_nf = np.eye(2, dtype=np.float32)[rng.integers(0, 2, N)]
+    y_ef = np.eye(2, dtype=np.float32)[rng.integers(0, 2, E)]
+
+    model = EncodeProcessDecode(x_dims=(0, vocab, 0),
+                                core_dims=(128, 128, 128),
+                                y_dims=(2, 2, 0), n_cores=1)
+    optimizer = optax.adamw(1e-4)
+
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=None, nf=jnp.asarray(nf), gf=None)
+    y = g.with_features(ef=jnp.asarray(y_ef), nf=jnp.asarray(y_nf), gf=None)
+
+    state_ref = TrainState.create(model, optimizer, jax.random.PRNGKey(72))
+    step_ref = jax.jit(make_train_step(model, optimizer,
+                                       loss_fn=graph_loss_nf_ef))
+    losses_ref = []
+    for _ in range(STEPS):
+        state_ref, m = step_ref(state_ref, g, y)
+        losses_ref.append(float(m["loss"]))
+
+    pg = partition_edges(senders, receivers, nf, num_shards=S,
+                         edge_pad_multiple=128)
+    pg_y = partition_edges(senders, receivers, y_nf, num_shards=S,
+                           ef=y_ef, edge_pad_multiple=128)
+    plan = build_halo_plan(pg)
+    # Sanity: this shape engages the agg-fused G=1 kernel in the shard body.
+    from graphnets_tpu.ops.pallas.edge_update_g1 import \
+        supports_g1_edge_update
+    Epad = int(pg.receivers_local.shape[1])
+    npad = pg.nodes_per_shard
+    N2 = npad + ((32 - npad % 32) or 32)
+    assert supports_g1_edge_update(Epad, N2, 128, 128, 4, with_agg=True)
+
+    state_p = TrainState.create(model, optimizer, jax.random.PRNGKey(72))
+    enable_pallas(True, interpret=True)
+    try:
+        step_p = jax.jit(make_partitioned_train_step(model, optimizer,
+                                                     plan, mesh))
+        losses_p = []
+        for _ in range(STEPS):
+            state_p, m = step_p(state_p, pg, pg_y.nf, pg_y.ef)
+            losses_p.append(float(m["loss"]))
+    finally:
+        enable_pallas(False, interpret=False)
+
+    np.testing.assert_allclose(losses_p, losses_ref, rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_p.params),
+                    jax.tree_util.tree_leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_pipeline_gradient_equality(cpu_devices):
     """Pipeline gradients == sequential-stack gradients (same stacked param
     layout), with a microbatch count that is NOT a multiple of the stage
