@@ -78,7 +78,25 @@ def cast_params(p):
     return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
 
 
-def time_iterated(step_fn, carry, l1=10, l2=100, trials=6):
+def differenced_time(times, l1, l2):
+    """Per-iteration time from two scan-length wall times.
+
+    Raises if the difference is non-positive: a longer scan measuring
+    FASTER than a shorter one is physically impossible per-iteration and
+    means the capture is corrupted (tunnel noise, preempted host, ...) —
+    writing it to an artifact (as round 4 did with "-85.70 ms") must be
+    impossible.
+    """
+    dt = (times[l2] - times[l1]) / (l2 - l1)
+    if not dt > 0:
+        raise RuntimeError(
+            f"non-positive differenced timing: t({l1})={times[l1]:.4f}s "
+            f"t({l2})={times[l2]:.4f}s -> {dt*1e3:.3f} ms/iter; "
+            "capture corrupted, refusing to report")
+    return dt
+
+
+def time_iterated(step_fn, carry, l1=10, l2=100, trials=6, retries=2):
     """Per-iteration device time of ``carry -> carry`` via in-jit lax.scan.
 
     The axon tunnel acks before device completion (block_until_ready does
@@ -87,6 +105,10 @@ def time_iterated(step_fn, carry, l1=10, l2=100, trials=6):
     difference out the fixed cost.  Long scans (10 vs 100) keep dispatch
     pipelining effects out of the per-iteration estimate (short scans
     overestimate by ~2x through the tunnel).
+
+    A non-positive difference (longer scan timed faster) is a corrupted
+    capture: re-measure up to ``retries`` times, then raise — never return
+    garbage (see ``differenced_time``).
     """
     def make(length):
         @jax.jit
@@ -100,17 +122,24 @@ def time_iterated(step_fn, carry, l1=10, l2=100, trials=6):
             return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
         return f
 
-    times = {}
-    for length in (l1, l2):
-        f = make(length)
+    fns = {length: make(length) for length in (l1, l2)}
+    for length, f in fns.items():
         float(f(carry))  # compile + warm
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(f(carry))  # readback forces completion
-            best = min(best, time.perf_counter() - t0)
-        times[length] = best
-    return (times[l2] - times[l1]) / (l2 - l1)
+    last_err = None
+    for _ in range(retries + 1):
+        times = {}
+        for length, f in fns.items():
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                float(f(carry))  # readback forces completion
+                best = min(best, time.perf_counter() - t0)
+            times[length] = best
+        try:
+            return differenced_time(times, l1, l2)
+        except RuntimeError as e:
+            last_err = e
+    raise last_err
 
 
 def bench_sparse(g, params, stack):

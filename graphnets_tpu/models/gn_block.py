@@ -386,8 +386,10 @@ class GNBlock(Module):
             from ..utils.config import bf16_gather_partials
             bf16_parts = (ef.dtype == jnp.bfloat16
                           and bf16_gather_partials(E))
-            itemsize = 2 if bf16_parts else 4
-            if supports_g1_edge_update(E, N, de, de_o, itemsize):
+            part_itemsize = 2 if bf16_parts else 4
+            itemsize = ef.dtype.itemsize
+            if supports_g1_edge_update(E, N, de, de_o, itemsize,
+                                       part_itemsize=part_itemsize):
                 w, b = params["edgefn"]["w"], params["edgefn"].get("b")
                 mm = lambda x, ws: jax.lax.dot_general(
                     x, ws.astype(x.dtype),
@@ -406,8 +408,16 @@ class GNBlock(Module):
                 if b is not None:
                     gb = gb + b.astype(jnp.float32)
                 w0 = jax.lax.slice_in_dim(w, 0, de, axis=0)
-                if supports_g1_edge_update(E, N, de, de_o, itemsize,
-                                           with_agg=True):
+                # Agg fusion under training: decided from measurement like
+                # the G>=2 gate above.  r5 capture at N=65k/E=1M/D=256 bf16
+                # (benchmarks/out/bench_large_train_r5.txt): the fused
+                # training step matches-or-beats the unfused one, so the
+                # gate defaults ON (config.g1_agg_fusion_training).
+                from ..utils.config import g1_agg_fusion_training
+                if ((not training or g1_agg_fusion_training())
+                        and supports_g1_edge_update(
+                            E, N, de, de_o, itemsize, with_agg=True,
+                            part_itemsize=part_itemsize)):
                     # Same kernel pass also emits the edge->node segment
                     # sum (pad-safe sorted contract, identical to
                     # aggregate_edges_for_nodes on the rounded output) —

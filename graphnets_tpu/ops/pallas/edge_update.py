@@ -333,7 +333,23 @@ def fused_edge_update_agg(ef, ln_params, w0, ts, tr, tg, b, senders,
     so each tile writes a complete disjoint agg block — the separate
     [E, D'] re-read disappears).  Numerics == ``segment_sum`` over the
     rounded output under the uniform layout's pad-safe contract.  Callers
-    gate with ``supports_fused_edge_update(..., with_agg=True)``."""
+    gate with ``supports_fused_edge_update(..., with_agg=True)``.
+
+    REQUIRES globally ascending ``receivers``: the forward's tile-local
+    one-hot aggregation would tolerate any tile-local receivers, but the
+    BACKWARD pulls the agg cotangent back with ``sorted_gather`` (ascending
+    contract — out-of-range/unsorted ids silently zero or double-count), so
+    unsorted receivers get a correct forward and corrupted gradients.
+    ``GRAPHNETS_TPU_DEBUG=1`` checks the contract here.
+
+    Gradient note: the backward rounds the AGG cotangent to the edge dtype
+    before the gather (exact for the gn_block path, which casts the f32
+    agg through the edge dtype; a consumer differentiating the raw f32 agg
+    directly sees its cotangent at edge precision)."""
+    from ...utils.config import debug_checks
+    if debug_checks():
+        from .gather import _debug_check_sorted_in_range
+        _debug_check_sorted_in_range(receivers, ts.shape[0])
     use_ln = ln_params is not None
     scale = ln_params["scale"] if use_ln else jnp.ones((ef.shape[1],),
                                                        jnp.float32)

@@ -77,7 +77,15 @@ def _tiles(num_edges: int, num_nodes: int):
 
 def supports_g1_edge_update(num_edges: int, num_nodes: int, de: int,
                             dout: int, itemsize: int = 2,
-                            with_agg: bool = False) -> bool:
+                            with_agg: bool = False,
+                            part_itemsize: int | None = None) -> bool:
+    """VMEM-budget gate.  ``itemsize`` is the edge-feature/out itemsize;
+    ``part_itemsize`` the src/tr partials itemsize (they can differ: the
+    gn_block passes bf16 ef with f32 partials below the bf16-gather-rows
+    threshold).  Defaults to ``itemsize`` for callers whose buffers share
+    one dtype."""
+    if part_itemsize is None:
+        part_itemsize = itemsize
     te, tn = _tiles(num_edges, num_nodes)
     if (te is None or de % 128 != 0 or dout % 128 != 0
             or num_nodes % 32 != 0 or num_nodes < 32):
@@ -87,15 +95,15 @@ def supports_g1_edge_update(num_edges: int, num_nodes: int, de: int,
         # overlap the previous one and double-count (the gather loop's
         # read-only clamp is harmless, the read-modify-write is not).
         return False
-    vmem = (te * de * itemsize          # ef tile
-            + te * dout * itemsize      # src tile
-            + 2 * tn * dout * itemsize  # double-buffered tr chunks
-            + te * dout * 4             # f32 accumulator
-            + te * dout * itemsize      # out tile
-            + de * dout * itemsize      # W0
-            + 2 * de * 4 + dout * 4)    # scale/bias/gb rows
+    vmem = (te * de * itemsize               # ef tile
+            + te * dout * part_itemsize      # src tile
+            + 2 * tn * dout * part_itemsize  # double-buffered tr chunks
+            + te * dout * 4                  # f32 accumulator
+            + te * dout * itemsize           # out tile
+            + de * dout * itemsize           # W0
+            + 2 * de * 4 + dout * 4)         # scale/bias/gb rows
     if with_agg:
-        vmem += 2 * tn * dout * 4       # double-buffered agg RMW chunks
+        vmem += 2 * tn * dout * 4            # double-buffered agg RMW chunks
     return vmem <= _VMEM_BUDGET
 
 
@@ -370,7 +378,8 @@ def _reference(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def _op(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
     if not supports_g1_edge_update(ef.shape[0], tr.shape[0], ef.shape[1],
-                                   tr.shape[1], ef.dtype.itemsize):
+                                   tr.shape[1], ef.dtype.itemsize,
+                                   part_itemsize=tr.dtype.itemsize):
         return _reference(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
     return _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
 
@@ -436,7 +445,8 @@ def _reference2(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
 def _op2(ef, scale, bias, w0, src, tr, rl, gb, has_ln):
     if not supports_g1_edge_update(ef.shape[0], tr.shape[0], ef.shape[1],
                                    tr.shape[1], ef.dtype.itemsize,
-                                   with_agg=True):
+                                   with_agg=True,
+                                   part_itemsize=tr.dtype.itemsize):
         return _reference2(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
     h, agg = _forward(ef, scale, bias, w0, src, tr, rl, gb, has_ln,
                       with_agg=True)
@@ -483,7 +493,13 @@ def fused_g1_edge_update_agg(ef, ef_ln, w0, src, tr, rl, gb):
     edges with rl == n``, f32 ``[N, dout]``) computed in the same kernel
     pass — the separate segment-sum re-read of the [E, dout] output
     disappears.  Numerics match ``segment_sum(h_ef)`` on the rounded
-    output exactly (f32 accumulation, pad-safe sorted contract)."""
+    output exactly (f32 accumulation, pad-safe sorted contract).
+
+    Gradient note: the backward rounds the AGG cotangent to ``ef.dtype``
+    before gathering it back to edges.  This is exact for the gn_block
+    path (which casts the f32 agg through ``ef.dtype`` anyway), but a
+    consumer differentiating through the raw f32 agg output directly sees
+    its cotangent at edge precision, not f32."""
     scale, bias, has_ln = _unpack_ln(ef, ef_ln)
     return _op2(ef, scale, bias, w0, src, tr, rl, gb, has_ln)
 

@@ -302,22 +302,28 @@ def _op(x, scale, bias, w1, b1, w2, b2, extra):
 
 def _fwd(x, scale, bias, w1, b1, w2, b2, extra):
     # `extra` itself is NOT a residual — only its dtype rides along in a
-    # zero-size carrier (shape (0, 1) marks a real extra, (0, 0) the
-    # sentinel).  Keeping it out of the residuals makes its buffer dead
-    # after the forward kernel, so _fused_forward can donate it into the
-    # output (input_output_aliases) without a defensive copy.
-    e_carrier = jnp.zeros((0, 1) if extra.size else (0, 0), extra.dtype)
+    # zero-size carrier ((0, 1) marks a real extra; a size-0 extra keeps
+    # its OWN shape so the bwd cotangent matches the primal aval — a
+    # genuinely zero-size extra like (0, d) passed straight to _op must
+    # not collapse to (0, 0)).  Keeping it out of the residuals makes its
+    # buffer dead after the forward kernel, so _fused_forward can donate
+    # it into the output (input_output_aliases) without a defensive copy.
+    e_carrier = (jnp.zeros((0, 1), extra.dtype) if extra.size
+                 else jnp.zeros(extra.shape, extra.dtype))
     return _run(x, scale, bias, w1, b1, w2, b2, extra), \
         (x, scale, bias, w1, b1, w2, b2, e_carrier)
 
 
 def _bwd(res, g):
     x, scale, bias, w1, b1, w2, b2, e_carrier = res
-    # d extra = identity passthrough (it enters the sum directly); the
-    # zero-size sentinel gets a matching zero-size cotangent.
-    had_extra = e_carrier.shape[1] == 1
+    # d extra = identity passthrough (it enters the sum directly); a
+    # size-0 extra (incl. the (0, 0) no-extra sentinel) gets a zero
+    # cotangent in its own shape.  The one ambiguous corner — a real extra
+    # of shape (0, 1) — also takes the had_extra branch, where g has the
+    # same (0, 1) shape, so the cotangent still matches.
+    had_extra = e_carrier.shape == (0, 1)
     d_extra = (g.astype(e_carrier.dtype) if had_extra
-               else jnp.zeros((0, 0), e_carrier.dtype))
+               else jnp.zeros(e_carrier.shape, e_carrier.dtype))
     if not supports_fused_ffn(x.shape[0], x.shape[1]):
         _, vjp = jax.vjp(
             lambda *a: ln_ffn_residual_reference(*a),

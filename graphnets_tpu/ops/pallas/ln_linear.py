@@ -261,19 +261,25 @@ def _op(x, scale, bias, w, addend):
 
 def _fwd(x, scale, bias, w, addend):
     # Only a zero-size dtype carrier of the addend rides in the residuals
-    # (shape (0, 1) marks a real addend, (0, 0) the sentinel): keeping the
-    # [T, dout] addend itself out makes its buffer dead after the forward
-    # kernel, so _forward can donate it into the output.
-    a_carrier = jnp.zeros((0, 1) if addend.size else (0, 0), addend.dtype)
+    # ((0, 1) marks a real addend; a size-0 addend keeps its OWN shape so
+    # the bwd cotangent matches the primal aval — a genuinely zero-size
+    # addend like (0, d) passed straight to _op must not collapse to
+    # (0, 0)): keeping the [T, dout] addend itself out makes its buffer
+    # dead after the forward kernel, so _forward can donate it into the
+    # output.
+    a_carrier = (jnp.zeros((0, 1), addend.dtype) if addend.size
+                 else jnp.zeros(addend.shape, addend.dtype))
     return _run(x, scale, bias, w, addend), (x, scale, bias, w, a_carrier)
 
 
 def _bwd(res, g):
     x, scale, bias, w, a_carrier = res
     # d addend = identity (it enters the sum directly; for the completed-
-    # row variant the upstream cotangent g is in x.dtype — upcast).
-    d_addend = (g.astype(a_carrier.dtype) if a_carrier.shape[1] == 1
-                else jnp.zeros((0, 0), a_carrier.dtype))
+    # row variant the upstream cotangent g is in x.dtype — upcast).  A
+    # real (0, 1)-shaped addend also takes the first branch, where g has
+    # the same shape, so the cotangent still matches.
+    d_addend = (g.astype(a_carrier.dtype) if a_carrier.shape == (0, 1)
+                else jnp.zeros(a_carrier.shape, a_carrier.dtype))
     if not supports_ln_matmul(x.shape[0], x.shape[1], w.shape[1]):
         _, vjp = jax.vjp(
             lambda x_, s_, b_, w_: ln_matmul_reference(x_, s_, b_, w_),

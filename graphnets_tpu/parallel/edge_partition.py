@@ -473,7 +473,8 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
         pad_rows = (32 - Npad % 32) or 32           # >= 1 overflow row
         N2 = Npad + pad_rows
         if supports_g1_edge_update(Epad, N2, de, de_o,
-                                   t_dst.dtype.itemsize, with_agg=True):
+                                   ef.dtype.itemsize, with_agg=True,
+                                   part_itemsize=t_dst.dtype.itemsize):
             tr2 = jnp.concatenate(
                 [t_dst, jnp.zeros((pad_rows, de_o), t_dst.dtype)], axis=0)
             gb = jnp.zeros((de_o,), jnp.float32)

@@ -38,6 +38,15 @@ class Config:
     # writes >= bf16_gather_rows rows, where the op is bandwidth-bound.
     bf16_gather_partials: Optional[bool] = None
     bf16_gather_rows: int = 1 << 17
+    # Engage the G=1 agg-fused edge-update kernel inside TRAINING graphs
+    # too (it is always preferred in inference where supported — measured
+    # win).  Under training its backward adds a gather of the agg cotangent
+    # on top of the fused kernel's own adjoint; whether that pays for the
+    # saved [E, dout] re-read is decided from measurement, like the G>=2
+    # gate (models/gn_block.py); see benchmarks/RESULTS.md for the r5
+    # measurement that set this default.
+    # GRAPHNETS_TPU_G1_AGG_TRAIN=0/1 overrides.
+    g1_agg_fusion_training: bool = True
     # Debug-mode invariant checks (GRAPHNETS_TPU_DEBUG=1): structural
     # validation in batch(), and sortedness / pad-targets-pad enforcement
     # in segment_sum(sorted_pad_safe=True) — the precondition the Pallas
@@ -65,6 +74,8 @@ _config = Config(
     pallas_interpret=os.environ.get("GRAPHNETS_TPU_PALLAS_INTERPRET",
                                     "0") == "1",
     split_linear=os.environ.get("GRAPHNETS_TPU_SPLIT_LINEAR", "1") == "1",
+    g1_agg_fusion_training=os.environ.get(
+        "GRAPHNETS_TPU_G1_AGG_TRAIN", "1") == "1",
     bf16_gather_partials=_env_tristate("GRAPHNETS_TPU_BF16_GATHER"),
     debug_checks=os.environ.get("GRAPHNETS_TPU_DEBUG", "0") == "1",
 )
@@ -131,6 +142,10 @@ def bf16_gather_partials(rows: int) -> bool:
                     rows, _config.bf16_gather_rows)
         return on
     return _config.bf16_gather_partials
+
+
+def g1_agg_fusion_training() -> bool:
+    return _config.g1_agg_fusion_training
 
 
 def debug_checks() -> bool:

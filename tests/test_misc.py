@@ -180,3 +180,20 @@ def test_reference_spelled_fn_input_aliases():
     assert gn.getedgefninput is gn.get_edge_fn_input
     assert gn.getnodefninput is gn.get_node_fn_input
     assert gn.getgraphfninput is gn.get_graph_fn_input
+
+
+def test_bench_harness_rejects_nonpositive_timing():
+    """The timing harness must never report a non-positive differenced
+    time (round 4 wrote "-85.70 ms" to an artifact; that class of capture
+    is now a hard error, not a silently-recorded number)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from bench import differenced_time
+
+    # sane capture passes through
+    assert differenced_time({10: 0.1, 100: 0.9}, 10, 100) > 0
+    # longer scan "faster" than shorter -> corrupted, must raise
+    with pytest.raises(RuntimeError, match="non-positive"):
+        differenced_time({3: 0.5, 24: 0.2}, 3, 24)
+    with pytest.raises(RuntimeError, match="non-positive"):
+        differenced_time({10: 0.4, 100: 0.4}, 10, 100)

@@ -872,3 +872,66 @@ def test_fused_edge_update_agg_gradients(interpret_mode):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b_, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_zero_size_extra_keeps_primal_shape(interpret_mode):
+    """ADVICE r4: a genuinely zero-size extra/addend with a non-(0,0)
+    shape (e.g. (0, d)) passed straight to the custom_vjp op must get a
+    cotangent in its own shape, not a hardcoded (0, 0)."""
+    from graphnets_tpu.ops.pallas.fused_ffn import _op as ffn_op
+    from graphnets_tpu.ops.pallas.ln_linear import _op as ln_op
+    d = 128
+    z = jnp.zeros((0, d), jnp.float32)
+    scale = jnp.ones((d,), jnp.float32)
+    bias = jnp.zeros((d,), jnp.float32)
+    w1 = jnp.zeros((d, 4 * d), jnp.float32)
+    b1 = jnp.zeros((4 * d,), jnp.float32)
+    w2 = jnp.zeros((4 * d, d), jnp.float32)
+    b2 = jnp.zeros((d,), jnp.float32)
+
+    g = jax.grad(lambda e: jnp.sum(
+        ffn_op(z, scale, bias, w1, b1, w2, b2, e)))(z)
+    assert g.shape == (0, d)
+
+    w = jnp.zeros((d, d), jnp.float32)
+    g2 = jax.grad(lambda a: jnp.sum(ln_op(z, scale, bias, w, a)))(z)
+    assert g2.shape == (0, d)
+
+
+def test_supports_g1_mixed_itemsize_accounting():
+    """ADVICE r4: the VMEM gate must account src/tr partials at THEIR
+    itemsize, not the edge features' — bf16 ef with f32 partials was
+    under-accounted by the single-itemsize formula."""
+    from graphnets_tpu.ops.pallas.edge_update_g1 import \
+        supports_g1_edge_update
+    E, N, D = 1 << 20, 65536, 512
+    # bf16 everywhere fits the 12 MB budget; f32 partials push past it.
+    assert supports_g1_edge_update(E, N, D, D, 2, part_itemsize=2)
+    assert not supports_g1_edge_update(E, N, D, D, 2, part_itemsize=4)
+    # default (no part_itemsize) preserves the old single-size behavior
+    assert supports_g1_edge_update(E, N, D, D, 2) == \
+        supports_g1_edge_update(E, N, D, D, 2, part_itemsize=2)
+
+
+def test_fused_edge_update_agg_debug_unsorted_receivers(interpret_mode):
+    """ADVICE r4: fused_edge_update_agg's backward requires globally
+    ascending receivers (sorted_gather contract); debug mode now rejects
+    unsorted receivers at the call instead of silently corrupting
+    gradients."""
+    from graphnets_tpu.ops.pallas.edge_update import fused_edge_update_agg
+    from graphnets_tpu.utils.config import enable_debug_checks
+    E, N, G, de, dout = 16, 8, 2, 128, 128
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    ef, ts, tr, tg = mk(E, de), mk(N, dout), mk(N, dout), mk(G, dout)
+    b = mk(dout)
+    senders = jnp.arange(E, dtype=jnp.int32) % N
+    receivers_bad = jnp.asarray([3, 1] * (E // 2), jnp.int32)  # unsorted
+    enable_debug_checks(True)
+    try:
+        with pytest.raises(ValueError, match="not ascending"):
+            fused_edge_update_agg(ef, None, jnp.zeros((de, dout)), ts, tr,
+                                  tg, b, senders, receivers_bad,
+                                  n_slots=N // G, e_slots=E // G)
+    finally:
+        enable_debug_checks(False)
