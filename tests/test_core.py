@@ -178,3 +178,140 @@ def test_epd_oracle_parity_flagship_dims():
                                    atol=2e-4)
         np.testing.assert_allclose(y["nf"][b], o_nf[b], rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_gncore_golden_rational():
+    """Golden-value GNCore forward, independent of tests/oracle.py
+    (VERDICT r4 #7): the expected outputs are EXACT rationals derived by
+    hand from the reference's formulas —
+
+      y = x + GNBlock(GN1(x)) + FFW(GN2(x))     gncore.jl:56-59
+      GNBlock edge->node->graph                 gnblock.jl:63-69
+      edge in  = [ef, nf_src, nf_dst, gf]       edgefninput.jl:1-8
+      node in  = [sum_incoming(h_ef), nf, gf]   nodefninput.jl:1-7
+      graph in = [sum(h_ef), sum(h_nf), gf]     graphfninput.jl:1-7
+      LN: (x-mu)/(std+eps)*scale+bias, eps=1e-5 gngraphnorm.jl (Flux LN)
+      FFW: relu(x@w1+b1)@w2+b2                  gnfeedforward.jl:27-31
+
+    With 2 channels LayerNorm is exact (std = |a-b|/2), so the whole
+    forward stays in Fraction arithmetic.  The in-test spec math is frozen
+    against literal goldens; the framework's f32 forward must match them.
+    """
+    from fractions import Fraction as F
+
+    EPS = F(1, 100000)
+
+    def ln_row(row, scale, bias):
+        a, b = row
+        mu, std = (a + b) / 2, abs(a - b) / 2
+        return [(x - mu) / (std + EPS) * s + t
+                for x, s, t in zip(row, scale, bias)]
+
+    def lnr(rows, sc_b):
+        return [ln_row(r, *sc_b) for r in rows]
+
+    def lin(rows, w, b):
+        return [[sum(x * w[i][j] for i, x in enumerate(r)) + b[j]
+                 for j in range(len(b))] for r in rows]
+
+    def ffw(rows, p):
+        h = [[max(x, F(0)) for x in r] for r in lin(rows, p["w1"], p["b1"])]
+        return lin(h, p["w2"], p["b2"])
+
+    def addr(x, y):
+        return [[a + b for a, b in zip(r, s)] for r, s in zip(x, y)]
+
+    SND, RCV = [0], [1]
+    EF = [[F(1), F(3)]]
+    NF = [[F(2), F(6)], [F(4), F(0)]]
+    GF = [[F(5), F(1)]]
+    LN1 = {"edge": ([F(3, 2), F(1, 2)], [F(1, 4), F(-1, 4)]),
+           "node": ([F(1), F(2)], [F(0), F(1, 2)]),
+           "graph": ([F(1, 2), F(1, 2)], [F(-1, 8), F(1, 8)])}
+    LN2 = {"edge": ([F(1), F(3, 4)], [F(1, 8), F(0)]),
+           "node": ([F(5, 4), F(1)], [F(-1, 4), F(1, 4)]),
+           "graph": ([F(2), F(1)], [F(0), F(0)])}
+    W_E = [[F(((i + 2 * j) % 5) - 2, 4) for j in range(2)] for i in range(8)]
+    B_E = [F(1, 8), F(-1, 8)]
+    W_N = [[F(((2 * i + j) % 5) - 2, 4) for j in range(2)] for i in range(6)]
+    B_N = [F(1, 16), F(-1, 16)]
+    W_G = [[F(((i + 3 * j) % 5) - 2, 4) for j in range(2)] for i in range(6)]
+    B_G = [F(0), F(1, 4)]
+
+    def ff_params(base):
+        return {"w1": [[F(((i * 3 + j + base) % 7) - 3, 8)
+                        for j in range(8)] for i in range(2)],
+                "b1": [F(j - 4 + base, 8) for j in range(8)],
+                "w2": [[F(((i + 2 * j + base) % 7) - 3, 8)
+                        for j in range(2)] for i in range(8)],
+                "b2": [F(1 + base, 8), F(-1 - base, 8)]}
+
+    FFP = {"eff": ff_params(0), "nff": ff_params(1), "gff": ff_params(2)}
+
+    def gn_block(ef, nf, gf):
+        ein = [ef[e] + nf[SND[e]] + nf[RCV[e]] + gf[0]
+               for e in range(len(ef))]
+        h_ef = lin(ein, W_E, B_E)
+        agg = [[F(0), F(0)] for _ in nf]
+        for e, r in enumerate(RCV):
+            agg[r] = [a + h for a, h in zip(agg[r], h_ef[e])]
+        h_nf = lin([agg[n] + nf[n] + gf[0] for n in range(len(nf))],
+                   W_N, B_N)
+        se = [sum(h[j] for h in h_ef) for j in range(2)]
+        sn = [sum(h[j] for h in h_nf) for j in range(2)]
+        h_gf = lin([se + sn + gf[0]], W_G, B_G)
+        return h_ef, h_nf, h_gf
+
+    b_ef, b_nf, b_gf = gn_block(lnr(EF, LN1["edge"]), lnr(NF, LN1["node"]),
+                                lnr(GF, LN1["graph"]))
+    y_ef = addr(addr(EF, b_ef), ffw(lnr(EF, LN2["edge"]), FFP["eff"]))
+    y_nf = addr(addr(NF, b_nf), ffw(lnr(NF, LN2["node"]), FFP["nff"]))
+    y_gf = addr(addr(GF, b_gf), ffw(lnr(GF, LN2["graph"]), FFP["gff"]))
+
+    # Frozen goldens: the spec math above must reproduce these EXACTLY
+    # (any drift in the in-test transcription is caught here, keeping the
+    # goldens hand-derived rather than regenerated).
+    assert y_ef == [[F(5673394833419, 1706692266752),
+                     F(1153363433535, 1706692266752)]]
+    assert y_nf == [[F(10100119, 12800064), F(55200235, 8533376)],
+                    [F(23840344100977, 5120076800256),
+                     F(-9860111700163, 5120076800256)]]
+    assert y_gf == [[F(1785026950085, 320004800016),
+                     F(1380020300117, 2560038400128)]]
+
+    # --- framework forward on the same fixture (f32) ----------------------
+    adj = np.zeros((2, 2), np.int64)
+    adj[0, 1] = 1  # edge src 0 -> dst 1
+    tof = lambda rows: np.array([[float(x) for x in r] for r in rows],
+                                np.float32)
+    g = gn.batch({"graphs": [adj], "ef": [tof(EF)], "nf": [tof(NF)],
+                  "gf": tof(GF)})
+    core = gn.GNCore((2, 2, 2))
+    params = core.init(jax.random.PRNGKey(0))
+    params["block"]["edgefn"] = {"w": jnp.asarray(tof(W_E)),
+                                 "b": jnp.asarray(tof([B_E])[0])}
+    params["block"]["nodefn"] = {"w": jnp.asarray(tof(W_N)),
+                                 "b": jnp.asarray(tof([B_N])[0])}
+    params["block"]["graphfn"] = {"w": jnp.asarray(tof(W_G)),
+                                  "b": jnp.asarray(tof([B_G])[0])}
+    for dst, src in (("gn1", LN1), ("gn2", LN2)):
+        for k, name in (("edge", "edgeln"), ("node", "nodeln"),
+                        ("graph", "graphln")):
+            params[dst][name] = {"scale": jnp.asarray(tof([src[k][0]])[0]),
+                                 "bias": jnp.asarray(tof([src[k][1]])[0])}
+    for k in ("eff", "nff", "gff"):
+        p = FFP[k]
+        params["ffwd"][k] = {
+            "0": {"w": jnp.asarray(tof(p["w1"])),
+                  "b": jnp.asarray(tof([p["b1"]])[0])},
+            "1": {"w": jnp.asarray(tof(p["w2"])),
+                  "b": jnp.asarray(tof([p["b2"]])[0])},
+            "2": {}}  # Dropout layer holds no params
+
+    out = core.apply(params, g)
+    np.testing.assert_allclose(np.asarray(out.ef)[:1], tof(y_ef),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.nf)[:2], tof(y_nf),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.gf)[:1], tof(y_gf),
+                               rtol=2e-5, atol=2e-5)
