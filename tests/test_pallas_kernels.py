@@ -935,3 +935,29 @@ def test_fused_edge_update_agg_debug_unsorted_receivers(interpret_mode):
                                   n_slots=N // G, e_slots=E // G)
     finally:
         enable_debug_checks(False)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_random_gather_matches(interpret_mode, dtype):
+    """Per-row-DMA random gather == jnp.take for arbitrary in-range ids
+    (no sortedness), incl. repeated rows; gradient == take's adjoint."""
+    from graphnets_tpu.ops.pallas.random_gather import (
+        random_gather, supports_random_gather)
+    N, D, E = 64, 128, 512
+    assert supports_random_gather(E, N, D)
+    rng = np.random.default_rng(9)
+    table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), dtype)
+    idx = jnp.asarray(rng.integers(0, N, size=E), jnp.int32)
+
+    out = random_gather(table, idx)
+    ref = jnp.take(table, idx, axis=0, mode="clip")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    g = jax.grad(lambda t: jnp.sum(jnp.sin(
+        random_gather(t, idx).astype(jnp.float32))))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.sin(
+        jnp.take(t, idx, axis=0, mode="clip").astype(jnp.float32))))(table)
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=tol, atol=tol)
