@@ -98,13 +98,20 @@ def main():
             nf=gt.nf.astype(DTYPE) if gt.nf is not None else None,
             gf=gt.gf.astype(DTYPE) if gt.gf is not None else None)
 
+    def cast_p(p):
+        # bf16 compute params from the f32 masters (round 5: the step
+        # previously ran the matmuls in f32 — params were never cast — at
+        # roughly half MXU rate; same mixed-precision recipe as
+        # bench_train_step.py / the flagship).
+        return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
+
     @jax.jit
     def step(params, opt_state, graph, node_ids, labels, label_mask,
              seed_idx, feat):
         graph = graph.with_features(nf=jnp.take(feat, node_ids, axis=0))
 
         def loss_fn(p):
-            pred = model.apply(p, graph, training=True)
+            pred = model.apply(cast_p(p), graph, training=True)
             logits = pred.nf[seed_idx]
             onehot = jax.nn.one_hot(labels, N_CLASSES)
             return masked_logit_crossentropy(logits, onehot, label_mask)

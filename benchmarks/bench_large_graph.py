@@ -96,8 +96,12 @@ def main():
     def cast(p):
         return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
 
+    # g and y ride in the CARRY (jit inputs): as closure constants the
+    # ~1.6 GB of feature/index arrays would be baked into the serialized
+    # HLO and stall the tunnel's remote compile (the bench_arxiv.py
+    # HTTP-413 class of failure — observed r5 as a >30 min compile hang).
     def step(carry):
-        params, opt_state = carry
+        params, opt_state, g, y = carry
 
         def loss_of(p):
             pred = stack.apply(cast(p), g, training=True)
@@ -106,9 +110,10 @@ def main():
         loss, grads = jax.value_and_grad(loss_of)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state)
+        return (params, opt_state, g, y)
 
-    t = time_iterated(step, (params, opt_state), l1=2, l2=10, trials=4)
+    t = time_iterated(step, (params, opt_state, g, y),
+                      l1=2, l2=10, trials=4)
     gate = get_config().g1_agg_fusion_training
     print(f"large-graph train: N={N} E={E} D={D} g1_agg_train={gate}: "
           f"{t*1e3:.2f} ms/step  {E/t:.3e} edges/s")

@@ -44,7 +44,20 @@ import bench  # repo-root harness
 enable_compilation_cache()
 enable_pallas(True)
 
-N, DEG, D = 1024, 16, 384
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--large", action="store_true",
+                 help="BASELINE config-5 class shape (N=65536, E=1M, "
+                 "D=256) instead of the headline shape — round-5 ask #3: "
+                 "measure the partitioned rate on the shape the scaling "
+                 "table's large rows describe")
+_ap.add_argument("--skip-train", action="store_true")
+_args, _ = _ap.parse_known_args()
+
+if _args.large:
+    N, DEG, D = 65536, 16, 256
+else:
+    N, DEG, D = 1024, 16, 384
 E = N * DEG
 DTYPE = jnp.bfloat16
 
@@ -90,13 +103,15 @@ def main():
     params_b = cast(params)
 
     # ---- forward --------------------------------------------------------
-    t_unpart = bench.time_iterated(lambda x: stack.apply(params_b, x), g)
+    _tkw = dict(l1=2, l2=10, trials=4) if _args.large else {}
+    t_unpart = bench.time_iterated(lambda x: stack.apply(params_b, x), g,
+                                   **_tkw)
     print(f"# unpartitioned fwd: {t_unpart*1e3:.2f} ms "
           f"({E / t_unpart:.3e} edges/s)", file=sys.stderr, flush=True)
 
     t_part = bench.time_iterated(
         lambda x: gn_core_list_partitioned(stack, params_b, x, plan, mesh),
-        pg)
+        pg, **_tkw)
     print(f"# partitioned S=1 fwd: {t_part*1e3:.2f} ms "
           f"(overhead {t_part / t_unpart - 1:+.1%})", file=sys.stderr,
           flush=True)
@@ -110,8 +125,11 @@ def main():
     opt = optax.adamw(3e-4)
     opt_state = opt.init(params)
 
+    # graph + targets ride in the CARRY (jit inputs), not as closure
+    # constants — constants are baked into the serialized HLO and stall
+    # the tunnel's remote compile at the --large shape (~1.6 GB).
     def step_unpart(carry):
-        p, s = carry
+        p, s, g, y = carry
 
         def loss_of(p):
             pred = stack.apply(cast(p), g, training=True)
@@ -119,9 +137,20 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_of)(p)
         updates, s = opt.update(grads, s, p)
-        return (optax.apply_updates(p, updates), s)
+        return (optax.apply_updates(p, updates), s, g, y)
 
-    t_unpart_tr = bench.time_iterated(step_unpart, (params, opt_state))
+    if _args.skip_train:
+        import json
+        print(json.dumps({
+            "shape": {"N": N, "E": E, "D": D},
+            "unpart_fwd_ms": t_unpart * 1e3,
+            "part_s1_fwd_ms": t_part * 1e3,
+            "fwd_overhead": t_part / t_unpart - 1,
+        }))
+        return
+
+    t_unpart_tr = bench.time_iterated(step_unpart,
+                                      (params, opt_state, g, y), **_tkw)
     print(f"# unpartitioned train: {t_unpart_tr*1e3:.2f} ms",
           file=sys.stderr, flush=True)
 
@@ -131,24 +160,26 @@ def main():
     yp_ef = pg_y.ef.astype(DTYPE)
 
     def step_part(carry):
-        p, s = carry
+        p, s, pg_c, ynf, yef = carry
 
         def loss_of(p):
-            pred = gn_core_list_partitioned(stack, cast(p), pg, plan, mesh,
-                                            training=True)
-            return partitioned_loss_nf_ef(pred, yp_nf, yp_ef)
+            pred = gn_core_list_partitioned(stack, cast(p), pg_c, plan,
+                                            mesh, training=True)
+            return partitioned_loss_nf_ef(pred, ynf, yef)
 
         loss, grads = jax.value_and_grad(loss_of)(p)
         updates, s = opt.update(grads, s, p)
-        return (optax.apply_updates(p, updates), s)
+        return (optax.apply_updates(p, updates), s, pg_c, ynf, yef)
 
-    t_part_tr = bench.time_iterated(step_part, (params, opt_state))
+    t_part_tr = bench.time_iterated(
+        step_part, (params, opt_state, pg, yp_nf, yp_ef), **_tkw)
     print(f"# partitioned S=1 train: {t_part_tr*1e3:.2f} ms "
           f"(overhead {t_part_tr / t_unpart_tr - 1:+.1%})", file=sys.stderr,
           flush=True)
 
     import json
     print(json.dumps({
+        "shape": {"N": N, "E": E, "D": D},
         "unpart_fwd_ms": t_unpart * 1e3,
         "part_s1_fwd_ms": t_part * 1e3,
         "fwd_overhead": t_part / t_unpart - 1,

@@ -24,35 +24,32 @@ enable_pallas(True)
 
 from bench import time_iterated  # noqa: E402
 
-N, D, E = 65536, 256, 1 << 20
+D, E = 256, 1 << 20
 DT = jnp.bfloat16
-
-rng = np.random.default_rng(0)
-table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), DT)
-idx = jnp.asarray(rng.integers(0, N, size=E), jnp.int32)
 
 from graphnets_tpu.ops.pallas.random_gather import (random_gather,
                                                     supports_random_gather)
-assert supports_random_gather(E, N, D)
 
-# carry the table (output feeds back via a cheap mix so the gather can't
-# be hoisted out of the scan)
+rng = np.random.default_rng(0)
+for N in (65536, 1 << 20):
+    table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), DT)
+    idx = jnp.asarray(rng.integers(0, N, size=E), jnp.int32)
+    assert supports_random_gather(E, N, D)
 
+    # carry the table (output feeds back via a cheap mix so the gather
+    # cannot be hoisted out of the scan)
+    def step_take(tab):
+        out = jnp.take(tab, idx, axis=0, mode="clip")
+        return tab + out[:tab.shape[0]] * jnp.bfloat16(1e-6)
 
-def step_take(tab):
-    out = jnp.take(tab, idx, axis=0, mode="clip")
-    return tab + out[:N] * jnp.bfloat16(1e-6)
+    def step_rg(tab):
+        out = random_gather(tab, idx)
+        return tab + out[:tab.shape[0]] * jnp.bfloat16(1e-6)
 
-
-def step_rg(tab):
-    out = random_gather(tab, idx)
-    return tab + out[:N] * jnp.bfloat16(1e-6)
-
-
-t_take = time_iterated(step_take, table, l1=5, l2=50)
-print(f"xla take:       {t_take*1e3:.3f} ms  "
-      f"{2*E*D*2/t_take/1e9:.0f} GB/s eff", flush=True)
-t_rg = time_iterated(step_rg, table, l1=5, l2=50)
-print(f"pallas per-row: {t_rg*1e3:.3f} ms  "
-      f"{2*E*D*2/t_rg/1e9:.0f} GB/s eff", flush=True)
-print(f"ratio rg/take = {t_rg/t_take:.2f}")
+    t_take = time_iterated(step_take, table, l1=3, l2=24)
+    print(f"N={N}: xla take:       {t_take*1e3:.3f} ms  "
+          f"{2*E*D*2/t_take/1e9:.0f} GB/s eff", flush=True)
+    t_rg = time_iterated(step_rg, table, l1=3, l2=24)
+    print(f"N={N}: pallas per-row: {t_rg*1e3:.3f} ms  "
+          f"{2*E*D*2/t_rg/1e9:.0f} GB/s eff", flush=True)
+    print(f"N={N}: ratio rg/take = {t_rg/t_take:.2f}", flush=True)

@@ -108,6 +108,12 @@ class NeighborSampler:
             cur = cur * f
             caps_nodes.append(cur)
         self.max_nodes = int(sum(caps_nodes)) + 1     # +1 pad node
+        # Round BOTH capacities to multiples of 128: the Pallas kernel
+        # gates (fused G=1 edge update, sorted segment sum) require
+        # 32/128-aligned row counts — an unaligned node capacity (e.g.
+        # 56,833 for batch 512 x fanouts (10, 10)) silently dropped the
+        # whole subgraph step to the unfused path (round-5 OGB roofline).
+        self.max_nodes = ((self.max_nodes + 127) // 128) * 128
         self.max_edges = int(sum(caps_edges))
         self.max_edges = ((self.max_edges + 127) // 128) * 128
 

@@ -54,9 +54,11 @@ def supports_random_gather(num_out: int, num_rows: int, dim: int) -> bool:
             and te % _UNROLL == 0)
 
 
-def _kernel(idx_ref,    # scalar prefetch: [E] int32 (SMEM)
-            tab_hbm,    # [N, D] in ANY (manual DMA source)
-            out_ref,    # [TE, D] VMEM output block
+def _kernel(idx_ref,    # [1, TE] int32 tile in SMEM
+            tab_hbm,    # [N, D] in ANY (DMA source)
+            out_hbm,    # [E, D] in ANY (DMA destination — HBM rows are
+            #             untiled, so 1-row slices are DMA-legal; tiled
+            #             VMEM blocks are not)
             sem,        # single DMA semaphore, shared by all row copies
             *, TE: int, UNROLL: int):
     t = pl.program_id(0)
@@ -66,8 +68,8 @@ def _kernel(idx_ref,    # scalar prefetch: [E] int32 (SMEM)
         for k in range(UNROLL):
             j = i * UNROLL + k
             pltpu.make_async_copy(
-                tab_hbm.at[pl.ds(idx_ref[base + j], 1), :],
-                out_ref.at[pl.ds(j, 1), :],
+                tab_hbm.at[pl.ds(idx_ref[0, j], 1), :],
+                out_hbm.at[pl.ds(base + j, 1), :],
                 sem).start()
         return c
 
@@ -75,14 +77,13 @@ def _kernel(idx_ref,    # scalar prefetch: [E] int32 (SMEM)
 
     def drain(i, c):
         for k in range(UNROLL):
-            j = i * UNROLL + k
             # Size-matched wait: the copy object only determines the byte
             # count the semaphore is decremented by (all row copies are
             # identical [1, D] transfers), not WHICH transfer completes —
             # TE waits drain TE completions in any order.
             pltpu.make_async_copy(
                 tab_hbm.at[pl.ds(0, 1), :],
-                out_ref.at[pl.ds(j, 1), :],
+                out_hbm.at[pl.ds(base, 1), :],
                 sem).wait()
         return c
 
@@ -97,14 +98,14 @@ def _forward(table: jax.Array, idx: jax.Array) -> jax.Array:
 
     return pl.pallas_call(
         functools.partial(_kernel, TE=TE, UNROLL=_UNROLL),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((TE, D), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
-        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, TE), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
         out_shape=jax.ShapeDtypeStruct((E, D), table.dtype),
         cost_estimate=pl.CostEstimate(
             flops=0,
@@ -112,7 +113,7 @@ def _forward(table: jax.Array, idx: jax.Array) -> jax.Array:
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(idx.astype(jnp.int32), table)
+    )(idx.reshape(1, E).astype(jnp.int32), table)
 
 
 @jax.custom_vjp

@@ -188,7 +188,16 @@ def test_bench_harness_rejects_nonpositive_timing():
     is now a hard error, not a silently-recorded number)."""
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-    from bench import differenced_time
+    # bench.py flips use_pallas on at import (it targets the real chip);
+    # restore the test-session config so later test files keep the
+    # CPU-oracle setting.
+    from graphnets_tpu.utils.config import get_config
+    cfg = get_config()
+    old = (cfg.use_pallas, cfg.pallas_interpret)
+    try:
+        from bench import differenced_time
+    finally:
+        cfg.use_pallas, cfg.pallas_interpret = old
 
     # sane capture passes through
     assert differenced_time({10: 0.1, 100: 0.9}, 10, 100) > 0
