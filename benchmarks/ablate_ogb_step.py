@@ -79,10 +79,11 @@ def main():
     def with_feat(feat):
         return graph0.with_features(nf=jnp.take(feat, b.node_ids, axis=0))
 
-    # A: gather only
+    # A: gather only (tiny data-dependent feedback so the gather is live;
+    # 1e-30 underflows in bf16 but is not provably zero to XLA)
     t_a = bench.time_iterated(
-        lambda f: f + with_feat(f).nf[:f.shape[0]] * jnp.asarray(0, DTYPE),
-        feat_dev)
+        lambda f: f + (jnp.sum(with_feat(f).nf.astype(jnp.float32))
+                       * 1e-30).astype(DTYPE), feat_dev)
     print(f"A feature gather:  {t_a*1e3:6.2f} ms", file=sys.stderr,
           flush=True)
 

@@ -49,7 +49,19 @@ for N in (65536, 1 << 20):
     t_take = time_iterated(step_take, table, l1=3, l2=24)
     print(f"N={N}: xla take:       {t_take*1e3:.3f} ms  "
           f"{2*E*D*2/t_take/1e9:.0f} GB/s eff", flush=True)
-    t_rg = time_iterated(step_rg, table, l1=3, l2=24)
-    print(f"N={N}: pallas per-row: {t_rg*1e3:.3f} ms  "
-          f"{2*E*D*2/t_rg/1e9:.0f} GB/s eff", flush=True)
-    print(f"N={N}: ratio rg/take = {t_rg/t_take:.2f}", flush=True)
+    try:
+        t_rg = time_iterated(step_rg, table, l1=3, l2=24)
+        print(f"N={N}: pallas per-row: {t_rg*1e3:.3f} ms  "
+              f"{2*E*D*2/t_rg/1e9:.0f} GB/s eff", flush=True)
+        print(f"N={N}: ratio rg/take = {t_rg/t_take:.2f}", flush=True)
+    except Exception as e:
+        # Expected on real TPU: Mosaic's DMA granularity is one (8,128)
+        # tile, so a single-row slice of a tiled memref is not legal —
+        # per-row random DMA is architecturally unexpressible.  The
+        # kernel runs in interpret mode (tests) as the semantic spec; on
+        # hardware any Pallas formulation pays >=8x (f32) / 16x (bf16)
+        # row-group amplification, i.e. >= ~5 ms of raw traffic — above
+        # XLA's measured take.  This records the negative result.
+        msg = str(e).splitlines()[0][:200]
+        print(f"N={N}: pallas per-row: REJECTED by Mosaic ({msg})",
+              flush=True)

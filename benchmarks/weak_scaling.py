@@ -70,9 +70,15 @@ from graphnets_tpu.parallel.mesh import make_mesh  # noqa: E402
 from graphnets_tpu.training.train import TrainState  # noqa: E402
 
 PEAK = 197e12          # v5e bf16 peak FLOP/s
-# Measured PARTITIONED-path train rate at S=1 on the real chip
-# (benchmarks/out/bench_partitioned_r4.txt: 426.7 GFLOP / 4.455 ms).
-SUSTAINED = 95.8e12
+# Measured PARTITIONED-path train rates at S=1 on the real chip, PER
+# SHAPE (round 5: the large shape has different bottlenecks — the random
+# sender gather and its backward permute dominate — so its rows must not
+# borrow the headline shape's rate):
+#   headline (N=1024/E=16384/D=384):  426.7 GFLOP / 4.455 ms = 95.8 TF/s
+#     (benchmarks/out/bench_partitioned_r4.txt)
+#   large   (N=65536/E=1M/D=256):     12.14 TFLOP / 177.28 ms = 68.5 TF/s
+#     (benchmarks/out/bench_partitioned_large_r5.txt)
+SUSTAINED = {"headline": 95.8e12, "large": 68.5e12}
 ICI_LINK = 45e9        # bytes/s, one direction, one link (public v5e)
 ICI_NEIGH = 2 * ICI_LINK  # halo all_to_all over a torus neighborhood
 
@@ -115,7 +121,7 @@ def analytic(tag, senders, receivers, N, S, D, n_blocks, mincut=False):
     send_rows = float(np.asarray(plan.send_mask).sum()) / S  # per chip
     halo_bytes = 2 * n_blocks * send_rows * D * 2  # fwd + bwd, bf16
     flops = 3 * stack_flops(E // S, N // S, 1, D, n_blocks)  # train = 3x fwd
-    t_comp = flops / SUSTAINED
+    t_comp = flops / SUSTAINED[tag.split("/")[0]]
     t_comm = halo_bytes / ICI_NEIGH
     t_comm_1link = halo_bytes / ICI_LINK
     eff_seq = t_comp / (t_comp + t_comm)
@@ -173,7 +179,8 @@ def main():
     results = {"analytic": [], "measured": []}
 
     # B. analytic ICI model at the two standing configs
-    print("== analytic ICI model (v5e: 95.8 TFLOP/s measured partitioned-path rate, "
+    print("== analytic ICI model (v5e: measured partitioned-path rates "
+          "95.8 TF/s headline / 68.5 TF/s large, "
           "90 GB/s neighborhood ICI) ==")
     for S in (2, 4, 8, 16):
         rng = np.random.default_rng(1)
