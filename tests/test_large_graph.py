@@ -139,3 +139,81 @@ def test_prefetch_pool_multi_worker():
 
     got = sorted(PrefetchPool(factory, num_workers=3, device_put=False))
     assert got == sorted((w, i) for w in range(3) for i in range(5))
+
+
+def test_sampler_kernel_contracts():
+    """Round 5: the fused G=1 / sorted kernel paths now engage on sampled
+    subgraphs (node capacity rounded to a multiple of 128), which makes
+    these layout invariants GRADIENT-critical (the agg-fused backward's
+    sorted_gather silently corrupts on unsorted receivers):
+
+      * receivers globally ascending, pads included;
+      * pad edges target a padded node slot (>= all real receivers);
+      * node/edge capacities multiples of 128.
+    """
+    g, _ = random_graph(n=500, avg_deg=5, seed=3)
+    s = NeighborSampler(g, fanouts=(6, 4), batch_size=16, seed=2,
+                        emit_node_ids=True)
+    assert s.max_nodes % 128 == 0 and s.max_edges % 128 == 0
+    for seeds in (np.arange(16), np.arange(100, 109)):  # full + short batch
+        b = s.sample(seeds)
+        rcv = np.asarray(b.graph.receivers)
+        snd = np.asarray(b.graph.senders)
+        n_real_e = int(np.asarray(b.graph.n_edge)[0])
+        n_real_n = int(np.asarray(b.graph.n_node)[0])
+        assert (np.diff(rcv) >= 0).all(), "receivers must be ascending"
+        assert rcv.shape[0] == s.max_edges
+        # pads target the pad node (the first slot past the real nodes)
+        assert (rcv[n_real_e:] == n_real_n).all()
+        assert (snd[n_real_e:] == n_real_n).all()
+        assert n_real_n < s.max_nodes
+        # real receivers stay below the pad node
+        assert (rcv[:n_real_e] < n_real_n).all()
+
+
+def test_sampled_subgraph_kernel_path_matches_pure():
+    """The kernels that now engage on sampled subgraphs (fused G=1 edge
+    update with in-kernel agg + sorted gathers) produce the same losses
+    and gradients as the pure-XLA oracle path — run in Pallas interpret
+    mode on a real sampled batch (pads target the pad node, short batch
+    included)."""
+    from graphnets_tpu.training.losses import masked_logit_crossentropy
+    from graphnets_tpu.utils.config import enable_pallas
+
+    g, n_classes = random_graph(n=300, avg_deg=6, d=16, seed=5)
+    s = NeighborSampler(g, fanouts=(4, 4), batch_size=8, seed=3,
+                        emit_node_ids=True)
+    b = s.sample(np.arange(8))
+    from graphnets_tpu.data.large_graph import device_feature_table
+    feat = device_feature_table(g, jnp.float32)
+    graph = b.graph.with_features(nf=jnp.take(feat, b.node_ids, axis=0))
+
+    model = EncodeProcessDecode((0, 16, 0), (128, 128, 128),
+                                (1, n_classes, 0), n_cores=1)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def loss_of(p):
+        pred = model.apply(p, graph, training=True)
+        logits = pred.nf[b.seed_local_idx]
+        onehot = jax.nn.one_hot(b.labels, n_classes)
+        return masked_logit_crossentropy(logits, onehot, b.label_mask)
+
+    # sanity: this shape engages the fused G=1 kernel in the cores
+    from graphnets_tpu.ops.pallas.edge_update_g1 import \
+        supports_g1_edge_update
+    assert supports_g1_edge_update(graph.num_edge_slots,
+                                   graph.num_node_slots, 128, 128, 4,
+                                   with_agg=True)
+
+    l_pure, g_pure = jax.value_and_grad(loss_of)(params)
+    enable_pallas(True, interpret=True)
+    try:
+        l_k, g_k = jax.value_and_grad(loss_of)(params)
+    finally:
+        enable_pallas(False, interpret=False)
+    np.testing.assert_allclose(float(l_k), float(l_pure),
+                               rtol=1e-5, atol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_pure)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=5e-5)
