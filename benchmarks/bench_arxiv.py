@@ -34,6 +34,9 @@ enable_pallas(True)
 
 import argparse
 _ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=512,
+                 help="seed nodes per step (r5: larger batches amortize "
+                 "the random-gather floor over more FLOPs)")
 _ap.add_argument("--products", action="store_true",
                  help="ogbn-products shape (2.45M nodes / 124M edges) "
                  "instead of arxiv — exercises the large-graph store and "
@@ -46,7 +49,7 @@ if _args.products:
 else:
     N, E_TARGET, D_FEAT, N_CLASSES = 169_343, 1_166_243, 128, 40
 HIDDEN, N_CORES = 256, 2
-FANOUTS, BATCH = (10, 10), 512
+FANOUTS, BATCH = (10, 10), _args.batch
 DTYPE = jnp.bfloat16
 
 
