@@ -60,6 +60,7 @@ _SLOW_TESTS = {
     "test_uniform_layout::test_gnblock_parity_exact_vs_uniform",
     "test_large_graph::test_node_classification_learns",
     "test_large_graph::test_sampled_subgraph_kernel_path_matches_pure",
+    "test_large_graph::test_node_classification_example_runs",
     "test_gnblock::test_gradients_flow",
     "test_checkpoint::test_checkpoint_roundtrip",
     "test_checkpoint::test_checkpoint_keeps_latest",

@@ -217,3 +217,21 @@ def test_sampled_subgraph_kernel_path_matches_pure():
                     jax.tree_util.tree_leaves(g_pure)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_node_classification_example_runs():
+    """The user-facing large-graph example (examples/node_classification.py)
+    trains and clears its own accuracy bar end to end."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "examples/node_classification.py"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
+    assert "node_classification ok" in r.stdout
