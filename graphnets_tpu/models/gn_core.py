@@ -158,7 +158,8 @@ class GNCore(Module):
             # Whole second branch + both residuals in one kernel pass per
             # feature set: y = x + branch1 + FF(LN2(x)) (branch1 enters as
             # the kernel's `extra` input).
-            return self._fused_branch2(params, g, branch1)
+            return self._fused_branch2(params, g, branch1,
+                                       training=training)
         branch2 = ffwd.apply(params["ffwd"],
                              gn2.apply(params["gn2"], g),
                              training=training, rng=rngs[1])
@@ -171,6 +172,15 @@ class GNCore(Module):
     # 812us fused; D=256 forward 8.42ms fused vs 9.28ms XLA at 1M edges —
     # bandwidth-bound shapes win, compute-bound shapes lose).
     _FUSED_FFN_TRAIN_MAX_DIM = 256
+    # ...and below this ROW count a feature set's fused FFN also loses
+    # under training (the recompute overhead is not paid back by stream
+    # savings at small T; the kernel's residual fold still wins at large
+    # T).  r5 model-level A/Bs at D=256: E=56k/N=57k deg-1 subgraph
+    # 17.89 ms per-set-unfused vs 18.70 all-fused; deg-16 shapes win
+    # fused from ef=65k rows up (11.34 vs 12.49 at E=65k; 48.3 vs 55.9 at
+    # E=262k; 190.4 vs 220.6 at E=1M).  Per-SET gate so the big edge set
+    # can fuse while a small node set composes.
+    _FUSED_FFN_TRAIN_MIN_ROWS = 1 << 16
 
     def _use_fused(self, g: GraphsTuple, training: bool) -> bool:
         from ..ops.pallas.fused_ffn import supports_fused_ffn
@@ -183,16 +193,24 @@ class GNCore(Module):
                 and supports_fused_ffn(g.num_node_slots, self.dims[1]))
 
     def _fused_branch2(self, params, g: GraphsTuple,
-                       branch1: GraphsTuple) -> GraphsTuple:
-        from ..ops.pallas.fused_ffn import ln_ffn_residual
+                       branch1: GraphsTuple, *,
+                       training: bool = False) -> GraphsTuple:
+        from ..ops.pallas.fused_ffn import (ln_ffn_residual,
+                                            ln_ffn_residual_reference)
         ln2, ff = params["gn2"], params["ffwd"]
 
         def one(x, extra, ln_key, ff_key):
             ln_p = ln2[ln_key]
             f = ff[ff_key]
-            return ln_ffn_residual(x, ln_p["scale"], ln_p["bias"],
-                                   f["0"]["w"], f["0"]["b"],
-                                   f["1"]["w"], f["1"]["b"], extra=extra)
+            fn = ln_ffn_residual
+            if training and x.shape[0] < self._FUSED_FFN_TRAIN_MIN_ROWS:
+                # Same math, composed (XLA saves residuals instead of the
+                # kernel recomputing them) — the measured winner for
+                # small row counts under training.
+                fn = ln_ffn_residual_reference
+            return fn(x, ln_p["scale"], ln_p["bias"],
+                      f["0"]["w"], f["0"]["b"],
+                      f["1"]["w"], f["1"]["b"], extra=extra)
 
         return g.with_features(
             ef=one(g.ef, branch1.ef, "edgeln", "eff"),
