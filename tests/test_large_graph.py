@@ -229,7 +229,8 @@ def test_node_classification_example_runs():
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
-        [sys.executable, "examples/node_classification.py"],
+        [sys.executable, "examples/node_classification.py",
+         "--steps", "300"],
         capture_output=True, text=True, timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env)
