@@ -73,8 +73,7 @@ def main():
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    def cast_p(p):
-        return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
+    from bench import cast_params as cast_p
 
     def with_feat(feat):
         return graph0.with_features(nf=jnp.take(feat, b.node_ids, axis=0))

@@ -101,12 +101,10 @@ def main():
             nf=gt.nf.astype(DTYPE) if gt.nf is not None else None,
             gf=gt.gf.astype(DTYPE) if gt.gf is not None else None)
 
-    def cast_p(p):
-        # bf16 compute params from the f32 masters (round 5: the step
-        # previously ran the matmuls in f32 — params were never cast — at
-        # roughly half MXU rate; same mixed-precision recipe as
-        # bench_train_step.py / the flagship).
-        return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
+    # bf16 compute params from the f32 masters (round 5: the step
+    # previously ran the matmuls in f32 — params were never cast — at
+    # roughly half MXU rate; shared recipe: bench.cast_params).
+    from bench import cast_params as cast_p
 
     @jax.jit
     def step(params, opt_state, graph, node_ids, labels, label_mask,

@@ -93,8 +93,7 @@ def main():
     opt = optax.adamw(3e-4)
     opt_state = opt.init(params)
 
-    def cast(p):
-        return jax.tree_util.tree_map(lambda x: x.astype(DTYPE), p)
+    from bench import cast_params as cast  # shared mixed-precision recipe
 
     # g and y ride in the CARRY (jit inputs): as closure constants the
     # ~1.6 GB of feature/index arrays would be baked into the serialized

@@ -59,8 +59,7 @@ def measure(N, min_rows):
     params = stack.init(jax.random.PRNGKey(0))
     opt = optax.adamw(3e-4)
     opt_state = opt.init(params)
-    cast = lambda p: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16), p)
+    from bench import cast_params as cast
 
     def step(carry):
         p, s, g_, y_ = carry

@@ -400,7 +400,8 @@ def gn_block_partitioned_halo(block: GNBlock, params, pg: PartitionedGraph,
 
 
 def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
-                   nf, ef, gf, axis: str, ef_ln=None):
+                   nf, ef, gf, axis: str, ef_ln=None,
+                   training: bool = False):
     """Per-shard GNBlock body with v3 (transform-before-exchange) halo.
 
     Runs INSIDE ``shard_map``: all array arguments are this shard's slices
@@ -467,7 +468,12 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
     # (rl == Npad) target appended zero table rows >= Npad whose agg rows
     # are sliced off: the overflow-segment contract, unchanged.
     h_ef = agg = None
-    if use_pallas() and de > 0:
+    # Same training gate as the single-device G=1 path: the agg fusion's
+    # backward differs, so GRAPHNETS_TPU_G1_AGG_TRAIN=0 must disable it
+    # here too (measured default ON — see models/gn_block.py).
+    from ..utils.config import g1_agg_fusion_training
+    if (use_pallas() and de > 0
+            and (not training or g1_agg_fusion_training())):
         from ..ops.pallas.edge_update_g1 import (
             fused_g1_edge_update_agg, supports_g1_edge_update)
         pad_rows = (32 - Npad % 32) or 32           # >= 1 overflow row

@@ -75,25 +75,35 @@ def _core_local(core: GNCore, params, send_idx, sender_pos, rl, em, nm,
         b_ef, b_nf, b_gf = block_local_v3(
             block, params["block"], send_idx, sender_pos, rl, em, nm,
             nln.apply(ln1["nodeln"], nf), ef,
-            gln.apply(ln1["graphln"], gf), axis, ef_ln=ln1["edgeln"])
+            gln.apply(ln1["graphln"], gf), axis, ef_ln=ln1["edgeln"],
+            training=training)
     else:
         b_ef, b_nf, b_gf = block_local_v3(
             block, params["block"], send_idx, sender_pos, rl, em, nm,
             nln.apply(ln1["nodeln"], nf), eln.apply(ln1["edgeln"], ef),
-            gln.apply(ln1["graphln"], gf), axis)
+            gln.apply(ln1["graphln"], gf), axis, training=training)
 
     ln2, ff = params["gn2"], params["ffwd"]
     use_fused_ffn = (pallas and (core.dropout == 0 or not training)
                      and (not training
                           or de <= GNCore._FUSED_FFN_TRAIN_MAX_DIM))
     if use_fused_ffn:
-        from ..ops.pallas.fused_ffn import ln_ffn_residual
+        from ..ops.pallas.fused_ffn import (ln_ffn_residual,
+                                            ln_ffn_residual_reference)
 
         def one(x, extra, ln_key, ff_key):
             p, f = ln2[ln_key], ff[ff_key]
-            return ln_ffn_residual(x, p["scale"], p["bias"],
-                                   f["0"]["w"], f["0"]["b"],
-                                   f["1"]["w"], f["1"]["b"], extra=extra)
+            fn = ln_ffn_residual
+            if (training
+                    and x.shape[0] < GNCore._FUSED_FFN_TRAIN_MIN_ROWS):
+                # Per-SET row gate, mirroring GNCore._fused_branch2: the
+                # kernel's residual fold only pays back at large row
+                # counts under training (RESULTS.md r5).  Note rows here
+                # are PER SHARD.
+                fn = ln_ffn_residual_reference
+            return fn(x, p["scale"], p["bias"],
+                      f["0"]["w"], f["0"]["b"],
+                      f["1"]["w"], f["1"]["b"], extra=extra)
 
         return (one(ef, b_ef, "edgeln", "eff"),
                 one(nf, b_nf, "nodeln", "nff"),
@@ -109,13 +119,14 @@ def _epd_local(model: EncodeProcessDecode, params, send_idx, sender_pos,
     """Per-shard EncodeProcessDecode body (whole stack, one shard_map)."""
     enc, cores, dec = model._parts()
     ef, nf, gf = block_local_v3(enc, params["encoder"], send_idx, sender_pos,
-                                rl, em, nm, nf, ef, gf, axis)
+                                rl, em, nm, nf, ef, gf, axis,
+                                training=training)
     for i, core in enumerate(cores.cores):
         ef, nf, gf = _core_local(core, params["core"][str(i)], send_idx,
                                  sender_pos, rl, em, nm, nf, ef, gf, axis,
                                  training=training)
     return block_local_v3(dec, params["decoder"], send_idx, sender_pos,
-                          rl, em, nm, nf, ef, gf, axis)
+                          rl, em, nm, nf, ef, gf, axis, training=training)
 
 
 def _run_partitioned(local_fn, params, pg: PartitionedGraph, plan: HaloPlan,
