@@ -839,3 +839,67 @@ def test_partitioned_stack_kernels_interpret_match(cpu_devices):
         k = int((ei[s] >= 0).sum())
         np.testing.assert_allclose(ef_out[s, :k], ef_ref[ei[s, :k]],
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_partitioned_training_agg_gate_off_matches(cpu_devices):
+    """GRAPHNETS_TPU_G1_AGG_TRAIN=0 must take effect in the PARTITIONED
+    training path too (r5 review fix: the gate was only consulted by the
+    single-device block).  With the gate off and kernels on (interpret),
+    the partitioned step routes the edge update through the composed
+    per-shard path and still equals the pure single-device step."""
+    import optax
+
+    from graphnets_tpu.parallel.edge_partition import (build_halo_plan,
+                                                       partition_edges)
+    from graphnets_tpu.parallel.edge_partition_stack import (
+        make_partitioned_train_step)
+    from graphnets_tpu.utils.config import enable_pallas, get_config
+
+    S = 2
+    mesh = _mesh(cpu_devices, S, names=("graph",))
+    rng = np.random.default_rng(81)
+    N, deg, vocab = 64, 4, 8
+    E = N * deg
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    nf = rng.normal(size=(N, vocab)).astype(np.float32)
+    y_nf = np.eye(2, dtype=np.float32)[rng.integers(0, 2, N)]
+    y_ef = np.eye(2, dtype=np.float32)[rng.integers(0, 2, E)]
+
+    model = EncodeProcessDecode(x_dims=(0, vocab, 0),
+                                core_dims=(128, 128, 128),
+                                y_dims=(2, 2, 0), n_cores=1)
+    optimizer = optax.adamw(1e-4)
+
+    g = gn.GraphsTuple(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.zeros((N,), jnp.int32),
+        edge_graph=jnp.zeros((E,), jnp.int32),
+        n_node=jnp.array([N], jnp.int32), n_edge=jnp.array([E], jnp.int32),
+        node_mask=jnp.ones((N,), bool), edge_mask=jnp.ones((E,), bool),
+        graph_mask=jnp.ones((1,), bool),
+        ef=None, nf=jnp.asarray(nf), gf=None)
+    y = g.with_features(ef=jnp.asarray(y_ef), nf=jnp.asarray(y_nf), gf=None)
+
+    state_ref = TrainState.create(model, optimizer, jax.random.PRNGKey(82))
+    _, m_ref = jax.jit(make_train_step(model, optimizer))(state_ref, g, y)
+
+    pg = partition_edges(senders, receivers, nf, num_shards=S,
+                         edge_pad_multiple=128)
+    pg_y = partition_edges(senders, receivers, y_nf, num_shards=S,
+                           ef=y_ef, edge_pad_multiple=128)
+    plan = build_halo_plan(pg)
+    state_p = TrainState.create(model, optimizer, jax.random.PRNGKey(82))
+    old_gate = get_config().g1_agg_fusion_training
+    enable_pallas(True, interpret=True)
+    get_config().g1_agg_fusion_training = False
+    try:
+        step_p = jax.jit(make_partitioned_train_step(model, optimizer,
+                                                     plan, mesh))
+        _, m_p = step_p(state_p, pg, pg_y.nf, pg_y.ef)
+        loss_p = float(m_p["loss"])
+    finally:
+        enable_pallas(False, interpret=False)
+        get_config().g1_agg_fusion_training = old_gate
+    np.testing.assert_allclose(loss_p, float(m_ref["loss"]),
+                               rtol=2e-4, atol=1e-6)
