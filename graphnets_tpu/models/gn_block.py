@@ -409,10 +409,11 @@ class GNBlock(Module):
                     gb = gb + b.astype(jnp.float32)
                 w0 = jax.lax.slice_in_dim(w, 0, de, axis=0)
                 # Agg fusion under training: decided from measurement like
-                # the G>=2 gate above.  r5 capture at N=65k/E=1M/D=256 bf16
-                # (benchmarks/out/bench_large_train_r5.txt): the fused
-                # training step matches-or-beats the unfused one, so the
-                # gate defaults ON (config.g1_agg_fusion_training).
+                # the G>=2 gate above and re-validated r5b after the
+                # backward-permute optimization (bench_large_train_r5b.txt
+                # at N=65k/E=1M/D=256 bf16): fused still wins (171.86 vs
+                # 177.97 ms), so the gate defaults ON
+                # (config.g1_agg_fusion_training).
                 from ..utils.config import g1_agg_fusion_training
                 if ((not training or g1_agg_fusion_training())
                         and supports_g1_edge_update(

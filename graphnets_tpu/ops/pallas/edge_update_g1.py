@@ -470,6 +470,11 @@ def _op2_bwd(has_ln, res, grads):
     # caller's f32->dtype cast, so its values are already h-dtype
     # representable — gathering in that dtype halves the [E, dout] stream
     # with no extra rounding for the model path.
+    # (Measured r5b negative result: folding the g_h add into the gather
+    # kernel via sorted_gather_add LOSES ~4 ms/step single-device and
+    # ~8 ms/step in the partitioned shards at E=1M/D=256 — the XLA add
+    # fusion downstream of the plain gather is cheaper than widening the
+    # kernel's accumulator stream.  Keep the composed form.)
     gh = (g_h.astype(jnp.float32)
           + sorted_gather(g_agg.astype(g_h.dtype), rl)
           .astype(jnp.float32)).astype(g_h.dtype)

@@ -120,9 +120,16 @@ def _take_rows_bwd(idx_sorted, res, g):
         dx = segment_sum(g, idx, n, indices_are_sorted=True,
                          sorted_pad_safe=True)
     else:
-        perm = jnp.argsort(idx)
-        seg = jnp.take(idx, perm)
-        gs = jnp.take(g, perm, axis=0)
+        # One stable key/value sort yields BOTH the sorted ids (the segment
+        # ids) and the permutation — `argsort` + `idx[perm]` would re-read
+        # the ids through a 4-byte random gather (~7.5 ms/step at E=1M,
+        # measured r5b) for values the sort already produced.  `perm` is a
+        # permutation by construction, so the cotangent gather needs no
+        # bounds select either (`promise_in_bounds` drops the ~1.6 ms
+        # `select_n` pass per call).
+        iota = jnp.arange(idx.shape[0], dtype=idx.dtype)
+        seg, perm = jax.lax.sort_key_val(idx, iota, is_stable=True)
+        gs = g.at[perm].get(unique_indices=True, mode="promise_in_bounds")
         dx = segment_sum(gs, seg, n, indices_are_sorted=True,
                          sorted_pad_safe=True)
     return dx.astype(g.dtype), None
@@ -223,6 +230,12 @@ def segment_sum(x: Array, segment_ids: Array, num_segments: int,
         if supports_sorted_segment_sum(x.shape[0], num_segments,
                                        x.shape[-1]):
             return sorted_segment_sum(x, segment_ids, num_segments)
+    # (A measured r5b negative result: special-casing num_segments == 1 as a
+    # masked column sum — instead of the one-hot HIGHEST dot below — LOSES
+    # ~2.3 ms/step on the 1M-edge training workload.  XLA fuses the one-hot
+    # dot's operand cast into the producer epilogue, while a standalone
+    # reduce forces the [E, D] stream to materialize twice for its two
+    # consumers.  Keep the one-hot path for every small-segment case.)
     if num_segments <= 64 and x.shape[0] >= 4 * num_segments:
         # Few segments (graph-level pools): a one-hot matmul beats
         # scatter-add by >10x on TPU and needs no sortedness.

@@ -470,7 +470,10 @@ def block_local_v3(block: GNBlock, params, send_idx, sender_pos, rl, em, nm,
     h_ef = agg = None
     # Same training gate as the single-device G=1 path: the agg fusion's
     # backward differs, so GRAPHNETS_TPU_G1_AGG_TRAIN=0 must disable it
-    # here too (measured default ON — see models/gn_block.py).
+    # here too (measured default ON; the composed per-shard path loses
+    # big here — 220.45 vs 177.05 ms at E=1M/D=256 S=1, r5b — because
+    # the overflow-segment layout keeps the saved [E, dout] re-read
+    # load-bearing).
     from ..utils.config import g1_agg_fusion_training
     if (use_pallas() and de > 0
             and (not training or g1_agg_fusion_training())):

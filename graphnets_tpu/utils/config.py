@@ -43,8 +43,11 @@ class Config:
     # win).  Under training its backward adds a gather of the agg cotangent
     # on top of the fused kernel's own adjoint; whether that pays for the
     # saved [E, dout] re-read is decided from measurement, like the G>=2
-    # gate (models/gn_block.py); see benchmarks/RESULTS.md for the r5
-    # measurement that set this default.
+    # gate (models/gn_block.py); see benchmarks/RESULTS.md for the
+    # measurements that set this default.  Re-validated r5b after the
+    # sort_key_val backward-permute optimization at E=1M/D=256: fused
+    # still wins both paths (single-device 171.86 vs composed 177.97 ms;
+    # partitioned shards 177.05 vs 220.45 ms).
     # GRAPHNETS_TPU_G1_AGG_TRAIN=0/1 overrides.
     g1_agg_fusion_training: bool = True
     # Debug-mode invariant checks (GRAPHNETS_TPU_DEBUG=1): structural
